@@ -1,0 +1,267 @@
+"""L0 math tests: closed forms, round-trips, and parity vs the torch oracle."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vargp_tpu import gpmath
+from vargp_tpu.gpmath.tril import identity_trilvec
+
+
+def rand_spd(rng, *batch, n):
+    A = rng.standard_normal((*batch, n, n)).astype(np.float32)
+    return A @ np.swapaxes(A, -1, -2) + n * np.eye(n, dtype=np.float32)
+
+
+def test_vec2tril_roundtrip():
+    rng = np.random.default_rng(0)
+    m = 7
+    vec = rng.standard_normal((3, (m * (m + 1)) // 2)).astype(np.float32)
+    tril = gpmath.vec2tril(jnp.asarray(vec))
+    assert tril.shape == (3, m, m)
+    # strictly lower triangle survives the round trip; diagonal is softplus'd
+    back = gpmath.mat2trilvec(tril)
+    rows, cols = np.tril_indices(m)
+    off = rows != cols
+    np.testing.assert_allclose(np.asarray(back)[:, off], vec[:, off], rtol=1e-6)
+    diag = np.asarray(jnp.diagonal(tril, axis1=-2, axis2=-1))
+    assert (diag > 0).all()
+    np.testing.assert_allclose(
+        diag, np.log1p(np.exp(vec[:, ~off])), rtol=1e-5
+    )
+
+
+def test_identity_trilvec_unpacks_to_identity():
+    v = identity_trilvec(2, 5)
+    L = gpmath.vec2tril(v)
+    np.testing.assert_allclose(
+        np.asarray(L), np.broadcast_to(np.eye(5, dtype=np.float32), (2, 5, 5)),
+        atol=1e-6,
+    )
+
+
+def test_cholesky_and_solves():
+    rng = np.random.default_rng(1)
+    K = rand_spd(rng, 4, n=6)
+    L = gpmath.cholesky(jnp.asarray(K), eps=0.0)
+    np.testing.assert_allclose(
+        np.asarray(gpmath.rev_cholesky(L)), K, rtol=1e-4, atol=1e-4
+    )
+    B = rng.standard_normal((4, 6, 3)).astype(np.float32)
+    X = gpmath.tri_solve(L, jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(L @ X), B, rtol=1e-4, atol=1e-4)
+    Y = gpmath.chol_solve(L, jnp.asarray(B))
+    np.testing.assert_allclose(np.asarray(K @ Y), B, rtol=1e-3, atol=1e-3)
+
+
+def test_mvn_kl_matches_naive():
+    rng = np.random.default_rng(2)
+    k = 5
+    Sq = rand_spd(rng, n=k)
+    Sp = rand_spd(rng, n=k)
+    mq = rng.standard_normal(k).astype(np.float32)
+    mp = rng.standard_normal(k).astype(np.float32)
+
+    Lq = np.linalg.cholesky(Sq)
+    Lp = np.linalg.cholesky(Sp)
+    kl = gpmath.mvn_kl(jnp.asarray(mq), jnp.asarray(Lq), jnp.asarray(mp), jnp.asarray(Lp))
+
+    Sp_inv = np.linalg.inv(Sp)
+    naive = 0.5 * (
+        np.trace(Sp_inv @ Sq)
+        + (mp - mq) @ Sp_inv @ (mp - mq)
+        - k
+        + np.log(np.linalg.det(Sp) / np.linalg.det(Sq))
+    )
+    np.testing.assert_allclose(float(kl), naive, rtol=1e-4)
+
+
+def test_mvn_log_prob_matches_scipy_style():
+    rng = np.random.default_rng(3)
+    k = 4
+    S = rand_spd(rng, n=k)
+    mu = rng.standard_normal(k).astype(np.float32)
+    x = rng.standard_normal(k).astype(np.float32)
+    L = np.linalg.cholesky(S)
+    lp = gpmath.mvn_log_prob(jnp.asarray(x), jnp.asarray(mu), jnp.asarray(L))
+    diff = x - mu
+    naive = (
+        -0.5 * (k * np.log(2 * np.pi) + diff @ np.linalg.inv(S) @ diff)
+        - 0.5 * np.log(np.linalg.det(S))
+    )
+    np.testing.assert_allclose(float(lp), naive, rtol=1e-4)
+
+
+def test_mvn_sample_moments():
+    rng = np.random.default_rng(4)
+    k = 3
+    S = rand_spd(rng, n=k)
+    mu = rng.standard_normal(k).astype(np.float32)
+    L = np.linalg.cholesky(S).astype(np.float32)
+    samples = gpmath.mvn_sample(
+        jax.random.key(0), jnp.asarray(mu), jnp.asarray(L), sample_shape=(200000,)
+    )
+    emp_mu = np.asarray(samples).mean(0)
+    emp_cov = np.cov(np.asarray(samples).T)
+    np.testing.assert_allclose(emp_mu, mu, atol=0.02)
+    np.testing.assert_allclose(emp_cov, S, rtol=0.05, atol=0.05)
+
+
+def test_gp_cond_vs_naive_inverse():
+    rng = np.random.default_rng(5)
+    M, N = 6, 4
+    Kzz = rand_spd(rng, n=M)
+    Kzx = rng.standard_normal((M, N)).astype(np.float32)
+    Kxx = rand_spd(rng, n=N)
+    u = rng.standard_normal((M, 1)).astype(np.float32)
+
+    mu, Sigma = gpmath.gp_cond(
+        jnp.asarray(u), jnp.asarray(Kzz), jnp.asarray(Kzx), jnp.asarray(Kxx)
+    )
+    Kinv = np.linalg.inv(Kzz + 1e-4 * np.eye(M))
+    mu_naive = Kzx.T @ Kinv @ u
+    Sig_naive = Kxx - Kzx.T @ Kinv @ Kzx
+    np.testing.assert_allclose(np.asarray(mu), mu_naive, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Sigma), Sig_naive, rtol=1e-3, atol=1e-3)
+
+
+def test_linear_joint_vs_naive():
+    rng = np.random.default_rng(6)
+    M, N = 5, 3
+    m = rng.standard_normal((M, 1)).astype(np.float32)
+    S = rand_spd(rng, n=M)
+    Kzz = rand_spd(rng, n=M)
+    Kzx = rng.standard_normal((M, N)).astype(np.float32)
+    V = rand_spd(rng, n=N)
+    b = rng.standard_normal((N, 1)).astype(np.float32)
+
+    mu, Sigma = gpmath.linear_joint(
+        *(jnp.asarray(a) for a in (m, S, Kzx, Kzz, V, b))
+    )
+    A = Kzx.T @ np.linalg.inv(Kzz + 1e-4 * np.eye(M))
+    mu_naive = np.concatenate([m, A @ m + b], axis=0)
+    Sig_naive = np.block([[S, S @ A.T], [A @ S, V + A @ S @ A.T]])
+    np.testing.assert_allclose(np.asarray(mu), mu_naive, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(Sigma), Sig_naive, rtol=1e-3, atol=2e-3)
+
+
+def test_ar_joint_posterior_matches_linear_joint_fold():
+    """The fused one-Cholesky AR chain must reproduce the reference-style
+    linear_joint recursion exactly (same jitter semantics)."""
+    rng = np.random.default_rng(7)
+    sizes = [4, 3, 5]
+    D = 2
+    # joint Gram over stacked inducing points via an RBF-like PSD construction
+    Z = rng.standard_normal((sum(sizes), D)).astype(np.float32)
+    sq = ((Z[:, None] - Z[None, :]) ** 2).sum(-1)
+    K = np.exp(-0.5 * sq).astype(np.float32)
+
+    u_means = [rng.standard_normal((s, 1)).astype(np.float32) for s in sizes]
+    u_trils = [
+        np.linalg.cholesky(rand_spd(rng, n=s)).astype(np.float32) for s in sizes
+    ]
+
+    L_full = gpmath.cholesky(jnp.asarray(K))
+    post = gpmath.ar_joint_posterior(
+        L_full, [jnp.asarray(u) for u in u_means], [jnp.asarray(t) for t in u_trils]
+    )
+
+    # fold with reference-style linear_joint
+    c = sizes[0]
+    mu = jnp.asarray(u_means[0])
+    S = gpmath.rev_cholesky(jnp.asarray(u_trils[0]))
+    for t in range(1, len(sizes)):
+        Mt = sizes[t]
+        Kzz = jnp.asarray(K[:c, :c])
+        Kzx = jnp.asarray(K[:c, c : c + Mt])
+        V = gpmath.rev_cholesky(jnp.asarray(u_trils[t]))
+        b = jnp.asarray(u_means[t])
+        mu, S = gpmath.linear_joint(mu, S, Kzx, Kzz, V, b)
+        c += Mt
+
+    np.testing.assert_allclose(
+        np.asarray(post.mean), np.asarray(mu), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(gpmath.rev_cholesky(post.LS)), np.asarray(S), rtol=1e-3, atol=1e-3
+    )
+
+
+def test_whitened_marginal_diag_matches_linear_marginal_diag():
+    rng = np.random.default_rng(8)
+    M, B = 6, 10
+    K = rand_spd(rng, n=M)
+    m = rng.standard_normal((M, 1)).astype(np.float32)
+    LS = np.linalg.cholesky(rand_spd(rng, n=M)).astype(np.float32)
+    Kzx = rng.standard_normal((M, B)).astype(np.float32)
+    kxx = np.abs(rng.standard_normal(B)).astype(np.float32) + 1.0
+
+    L = gpmath.cholesky(jnp.asarray(K))
+    f_mu, f_var = gpmath.whitened_marginal_diag(
+        L, jnp.asarray(m), jnp.asarray(LS), jnp.asarray(Kzx), jnp.asarray(kxx)
+    )
+    ref_mu, ref_var = gpmath.linear_marginal_diag(
+        jnp.asarray(m),
+        gpmath.rev_cholesky(jnp.asarray(LS)),
+        jnp.asarray(K),
+        jnp.asarray(Kzx),
+        jnp.asarray(kxx),
+    )
+    np.testing.assert_allclose(np.asarray(f_mu), np.asarray(ref_mu), rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(f_var), np.asarray(ref_var), rtol=1e-2, atol=1e-3)
+
+
+class TestTorchOracle:
+    """Bit-level-ish parity with the reference implementation."""
+
+    def test_vec2tril_parity(self, reference_modules):
+        import torch
+
+        rng = np.random.default_rng(10)
+        m = 6
+        vec = rng.standard_normal((2, (m * (m + 1)) // 2)).astype(np.float32)
+        ours = np.asarray(gpmath.vec2tril(jnp.asarray(vec)))
+        theirs = reference_modules["gp_utils"].vec2tril(torch.tensor(vec)).numpy()
+        np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+    def test_linear_joint_parity(self, reference_modules):
+        import torch
+
+        rng = np.random.default_rng(11)
+        M, N = 5, 4
+        m = rng.standard_normal((M, 1)).astype(np.float32)
+        S = rand_spd(rng, n=M)
+        Kzz = rand_spd(rng, n=M)
+        Kzx = rng.standard_normal((M, N)).astype(np.float32)
+        V = rand_spd(rng, n=N)
+        b = rng.standard_normal((N, 1)).astype(np.float32)
+
+        mu, Sig = gpmath.linear_joint(*(jnp.asarray(a) for a in (m, S, Kzx, Kzz, V, b)))
+        t = lambda a: torch.tensor(a)
+        ref_mu, ref_sig = reference_modules["gp_utils"].linear_joint(
+            t(m), t(S), t(Kzx), t(Kzz), t(V), t(b)
+        )
+        np.testing.assert_allclose(np.asarray(mu), ref_mu.numpy(), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(Sig), ref_sig.numpy(), rtol=1e-3, atol=1e-3)
+
+    def test_linear_marginal_diag_parity(self, reference_modules):
+        import torch
+
+        rng = np.random.default_rng(12)
+        M, B = 6, 8
+        m = rng.standard_normal((M, 1)).astype(np.float32)
+        S = rand_spd(rng, n=M)
+        Kzz = rand_spd(rng, n=M)
+        Kzx = rng.standard_normal((M, B)).astype(np.float32)
+        kxx = (np.abs(rng.standard_normal((1, B))) + 1).astype(np.float32)
+
+        mu, var = gpmath.linear_marginal_diag(
+            jnp.asarray(m), jnp.asarray(S), jnp.asarray(Kzz), jnp.asarray(Kzx), jnp.asarray(kxx)
+        )
+        t = lambda a: torch.tensor(a)
+        ref_mu, ref_var = reference_modules["gp_utils"].linear_marginal_diag(
+            t(m), t(S), t(Kzz), t(Kzx), t(kxx)
+        )
+        np.testing.assert_allclose(np.asarray(mu), ref_mu.numpy(), rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(var), ref_var.numpy(), rtol=1e-2, atol=1e-3)

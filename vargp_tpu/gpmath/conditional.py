@@ -1,0 +1,215 @@
+"""Sparse-GP conditionals and the auto-regressive joint posterior.
+
+Two API levels:
+
+1. Reference-parity primitives (``gp_cond``, ``linear_joint``,
+   ``linear_marginal_diag``) mirroring var_gp/gp_utils.py:68-191 — used by
+   the global-SVGP / retrain models and as test oracles.
+
+2. The fused TPU-first path (``ar_joint_posterior`` +
+   ``whitened_marginal_diag``).  Key identity: for the auto-regressive
+   chain q(u_{<=t}|th) built by repeated ``linear_joint`` folds
+   (var_gp/vargp.py:35-88), the joint covariance has the closed-form block
+   factor
+
+       chol(S_join) = [[chol(S_prev), 0], [A chol(S_prev), u_tril_t]],
+
+   and every per-task projection A_t = K_{t,<t} K_{<t}^{-1} is expressible
+   through sub-blocks of ONE Cholesky of the full inducing Gram matrix
+   (chol of a leading principal sub-block == leading block of the chol).
+   So the whole chain costs one batched ``(sum M)^3`` factorization instead
+   of the reference's per-task growing Choleskys plus chol(S) plus
+   chol(prior_cov) — identical math, far fewer FLOPs, and one big
+   MXU-friendly kernel instead of many small ones.
+"""
+
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from vargp_tpu.gpmath.linalg import _HIGHEST, cholesky, tri_solve
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity primitives
+# ---------------------------------------------------------------------------
+
+
+def gp_cond(u, Kzz, Kzx, Kxx, Lz=None, Lz_Kzx=None):
+    """Whitened GP conditional p(f|u): mu = Kxz Kzz^{-1} u,
+    Sigma = Kxx - Kxz Kzz^{-1} Kzx.  (Parity: gp_utils.py:68-98.)
+
+    u: ... x M x 1;  Kzz: ... x M x M;  Kzx: ... x M x N;  Kxx: ... x N x N.
+    Returns mu: ... x N x 1, Sigma: ... x N x N.
+    """
+    if Lz is None:
+        Lz = cholesky(Kzz)
+    Lz_u = tri_solve(Lz, u)
+    if Lz_Kzx is None:
+        Lz_Kzx = tri_solve(Lz, Kzx)
+    mu = jnp.einsum("...ij,...ik->...jk", Lz_Kzx, Lz_u, precision=_HIGHEST)
+    Sigma = Kxx - jnp.einsum(
+        "...ij,...ik->...jk", Lz_Kzx, Lz_Kzx, precision=_HIGHEST
+    )
+    return mu, Sigma
+
+
+def linear_joint(m, S, Kzx, Kzz, V, b):
+    """Joint of N(z; m, S) N(x; Az + b, V) with A = Kxz Kzz^{-1}:
+    mu = [m, Am + b], Sigma = [[S, SA^T], [AS, V + A S A^T]].
+    (Parity: gp_utils.py:101-147.)
+    """
+    Lz = cholesky(Kzz)
+    Lz_m = tri_solve(Lz, m)
+    Lz_Kzx = tri_solve(Lz, Kzx)
+
+    Am = jnp.einsum("...ij,...ik->...jk", Lz_Kzx, Lz_m, precision=_HIGHEST)
+    Lz_S = tri_solve(Lz, jnp.broadcast_to(S, jnp.broadcast_shapes(S.shape, Lz.shape)))
+    AS = jnp.einsum("...ij,...ik->...jk", Lz_Kzx, Lz_S, precision=_HIGHEST)
+    SAt = jnp.swapaxes(AS, -2, -1)
+    Lz_SAt = tri_solve(Lz, SAt)
+    ASAt = jnp.einsum("...ij,...ik->...jk", Lz_SAt, Lz_Kzx, precision=_HIGHEST)
+
+    mu = jnp.concatenate([jnp.broadcast_to(m, Am.shape[:-2] + m.shape[-2:]), Am + b], axis=-2)
+    top = jnp.concatenate([jnp.broadcast_to(S, AS.shape[:-2] + S.shape[-2:]), SAt], axis=-1)
+    bot = jnp.concatenate([AS, V + ASAt], axis=-1)
+    Sigma = jnp.concatenate([top, bot], axis=-2)
+    return mu, Sigma
+
+
+class MarginalCache(NamedTuple):
+    Lz: jax.Array
+    Lz_Kzx: jax.Array
+
+
+def linear_marginal_diag(m, S, Kzz, Kzx, Kxx_diag, *, return_cache=False):
+    """Diagonal marginal of the linear-Gaussian product:
+    mu = A m, var = Kxx_diag - diag(A Kzx) + diag(A S A^T).
+    (Parity: gp_utils.py:150-191.)
+    """
+    Lz = cholesky(Kzz)
+    Lz_m = tri_solve(Lz, m)
+    Lz_Kzx = tri_solve(Lz, Kzx)
+
+    mu = jnp.einsum("...ij,...ik->...jk", Lz_Kzx, Lz_m, precision=_HIGHEST)[..., 0]
+    diag1 = jnp.sum(jnp.square(Lz_Kzx), axis=-2)
+    Lz_LS = tri_solve(Lz, cholesky(S))
+    C = jnp.einsum("...ij,...ik->...jk", Lz_LS, Lz_Kzx, precision=_HIGHEST)
+    diag2 = jnp.sum(jnp.square(C), axis=-2)
+    var = Kxx_diag - diag1 + diag2
+
+    if return_cache:
+        return mu, var, MarginalCache(Lz=Lz, Lz_Kzx=Lz_Kzx)
+    return mu, var
+
+
+# ---------------------------------------------------------------------------
+# Fused TPU-first path
+# ---------------------------------------------------------------------------
+
+
+class ARPosterior(NamedTuple):
+    """Joint AR variational posterior q(u_{<=t} | theta) = N(mean, LS LS^T).
+
+    mean: ... x (sum M) x 1
+    LS:   ... x (sum M) x (sum M) block-lower-triangular scale factor.
+    Leading principal blocks of (mean, LS) are exactly the prefix posteriors
+    q(u_{<tau}) — no extra work needed to marginalize.
+    """
+
+    mean: jax.Array
+    LS: jax.Array
+
+
+def ar_joint_posterior(
+    L_full: jax.Array,
+    u_means: Sequence[jax.Array],
+    u_trils: Sequence[jax.Array],
+) -> ARPosterior:
+    """Fold the auto-regressive chain into (mean, scale_tril) of
+    q(u_{<=t}|theta) using only sub-blocks of the full-Gram Cholesky.
+
+    Arguments:
+      L_full:  ... x (sum M) x (sum M), chol(K_zz_all + jitter) over ALL
+               tasks' inducing points in task order.
+      u_means: per-task ... x M_t x 1 variational means.
+      u_trils: per-task ... x M_t x M_t variational scale factors.
+
+    The task loop is a static Python unroll (task count <= ~10; one XLA
+    program per task index), matching the recursion of vargp.py:61-80 but
+    with all solves against constant-offset blocks of one factorization.
+    """
+    sizes = [u.shape[-2] for u in u_means]
+    batch = jnp.broadcast_shapes(
+        L_full.shape[:-2], *[u.shape[:-2] for u in u_means]
+    )
+    dtype = L_full.dtype
+
+    c = sizes[0]
+    mean = jnp.broadcast_to(u_means[0], (*batch, sizes[0], 1))
+    LS = jnp.broadcast_to(u_trils[0], (*batch, sizes[0], sizes[0]))
+
+    for t in range(1, len(sizes)):
+        Mt = sizes[t]
+        L11 = L_full[..., :c, :c]
+        L21 = L_full[..., c : c + Mt, :c]
+        # One solve serves both the mean and the scale factor: A X = L21 L11^{-1} X.
+        rhs = jnp.concatenate([mean, LS], axis=-1)
+        AX = jnp.einsum(
+            "...ij,...jk->...ik", L21, tri_solve(L11, rhs), precision=_HIGHEST
+        )
+        mean = jnp.concatenate(
+            [mean, AX[..., :1] + u_means[t]], axis=-2
+        )
+        zeros = jnp.zeros((*batch, c, Mt), dtype=dtype)
+        top = jnp.concatenate([LS, zeros], axis=-1)
+        bot = jnp.concatenate(
+            [AX[..., 1:], jnp.broadcast_to(u_trils[t], (*batch, Mt, Mt))], axis=-1
+        )
+        LS = jnp.concatenate([top, bot], axis=-2)
+        c += Mt
+
+    return ARPosterior(mean=mean, LS=LS)
+
+
+def whitened_marginal_diag(
+    L: jax.Array,
+    mean: jax.Array,
+    LS: jax.Array,
+    Kzx: jax.Array,
+    Kxx_diag: jax.Array,
+):
+    """Diagonal predictive marginal given a precomputed Gram Cholesky and an
+    exact posterior scale factor (no chol(S) needed, unlike
+    linear_marginal_diag).
+
+      f_mean = Kxz K^{-1} mean
+      f_var  = Kxx_diag - diag(Kxz K^{-1} Kzx) + diag(Kxz K^{-1} S K^{-1} Kzx)
+
+    All three whitened solves are batched into a single triangular solve.
+
+    Shapes: L, LS: ... x M x M;  mean: ... x M x 1;  Kzx: ... x M x B;
+    Kxx_diag: broadcastable to ... x B.  Returns (f_mean, f_var): ... x B.
+    """
+    M = L.shape[-1]
+    batch = jnp.broadcast_shapes(
+        L.shape[:-2], LS.shape[:-2], mean.shape[:-2], Kzx.shape[:-2]
+    )
+    rhs = jnp.concatenate(
+        [
+            jnp.broadcast_to(mean, (*batch, *mean.shape[-2:])),
+            jnp.broadcast_to(LS, (*batch, *LS.shape[-2:])),
+            jnp.broadcast_to(Kzx, (*batch, *Kzx.shape[-2:])),
+        ],
+        axis=-1,
+    )
+    sol = tri_solve(L, rhs)
+    Lm, LLS, W = sol[..., :1], sol[..., 1 : 1 + M], sol[..., 1 + M :]
+
+    f_mean = jnp.einsum("...mi,...mb->...b", Lm, W, precision=_HIGHEST)
+    diag1 = jnp.sum(jnp.square(W), axis=-2)
+    C = jnp.einsum("...mi,...mb->...ib", LLS, W, precision=_HIGHEST)
+    diag2 = jnp.sum(jnp.square(C), axis=-2)
+    f_var = Kxx_diag - diag1 + diag2
+    return f_mean, f_var

@@ -1,0 +1,79 @@
+"""Packed lower-triangular parameterizations.
+
+Variational covariance factors are stored as packed vectors of the
+``m(m+1)/2`` lower-triangular entries; the diagonal is passed through a
+softplus when unpacking so the resulting Cholesky factor always has a
+strictly positive diagonal.
+
+Parity: var_gp/gp_utils.py:22-65 (vec2tril with softplus diagonal,
+mat2trilvec).  TPU-first notes: unpacking is done with a static scatter
+index (precomputed ``tril_indices``) so it lowers to a single gather/
+scatter instead of boolean masking; everything is ``vmap``-safe over
+arbitrary leading batch dims.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def tril_indices(m: int):
+    """Static (rows, cols) index arrays for the lower triangle of an m x m."""
+    rows, cols = np.tril_indices(m)
+    return np.asarray(rows, dtype=np.int32), np.asarray(cols, dtype=np.int32)
+
+
+def tril_size(m: int) -> int:
+    """Number of packed entries for an m x m lower triangle."""
+    return (m * (m + 1)) // 2
+
+
+def tril_dim(d: int) -> int:
+    """Invert tril_size: matrix dim m such that m(m+1)/2 == d."""
+    m = int((math.sqrt(8.0 * d + 1.0) - 1.0) / 2.0)
+    if tril_size(m) != d:
+        raise ValueError(f"{d} is not a valid packed-triangle length")
+    return m
+
+
+def vec2tril(vec: jax.Array, m: int | None = None) -> jax.Array:
+    """Unpack ``... x m(m+1)/2`` vectors into ``... x m x m`` lower-triangular
+    matrices, applying softplus to the diagonal for positivity.
+    """
+    if m is None:
+        m = tril_dim(vec.shape[-1])
+    rows, cols = tril_indices(m)
+    flat_idx = jnp.asarray(rows.astype(np.int64) * m + cols, dtype=jnp.int32)
+
+    batch_shape = vec.shape[:-1]
+    out = jnp.zeros((*batch_shape, m * m), dtype=vec.dtype)
+    out = out.at[..., flat_idx].set(vec)
+    tril = out.reshape(*batch_shape, m, m)
+
+    diag = jax.nn.softplus(jnp.diagonal(tril, axis1=-2, axis2=-1))
+    eye = jnp.eye(m, dtype=bool)
+    return jnp.where(eye, jnp.zeros_like(tril), tril) + diag[..., None] * jnp.eye(
+        m, dtype=tril.dtype
+    )
+
+
+def mat2trilvec(mat: jax.Array) -> jax.Array:
+    """Pack ``... x m x m`` matrices into their ``... x m(m+1)/2`` lower
+    triangles (no transform applied — inverse of vec2tril's layout only)."""
+    m = mat.shape[-1]
+    rows, cols = tril_indices(m)
+    return mat[..., rows, cols]
+
+
+def identity_trilvec(out_size: int, m: int, dtype=jnp.float32) -> jax.Array:
+    """Packed vector whose vec2tril is the identity: zeros off-diagonal and
+    softplus^{-1}(1) on the diagonal so the unpacked diagonal is exactly 1."""
+    inv_softplus_one = math.log(math.expm1(1.0))
+    rows, cols = tril_indices(m)
+    diag_mask = rows == cols
+    vec = np.where(diag_mask, inv_softplus_one, 0.0).astype(np.float32)
+    return jnp.broadcast_to(jnp.asarray(vec, dtype=dtype), (out_size, tril_size(m)))
