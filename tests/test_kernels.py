@@ -1,0 +1,102 @@
+"""Kernel tests: closed-form properties + torch-oracle parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vargp_tpu import kernels
+from vargp_tpu.kernels.rbf import RBFParams, RBFPrior
+
+
+def test_gram_matches_naive_rbf():
+    rng = np.random.default_rng(0)
+    D, M, N, H = 3, 5, 4, 2
+    theta = rng.standard_normal((H, D + 1)).astype(np.float32) * 0.3
+    x = rng.standard_normal((M, D)).astype(np.float32)
+    y = rng.standard_normal((N, D)).astype(np.float32)
+
+    K = np.asarray(kernels.gram(jnp.asarray(theta), jnp.asarray(x), jnp.asarray(y)))
+    assert K.shape == (H, M, N)
+
+    for h in range(H):
+        sig = np.exp(theta[h, :D])
+        g2 = np.exp(2 * theta[h, D])
+        sx, sy = x / sig, y / sig
+        d2 = ((sx[:, None] - sy[None]) ** 2).sum(-1)
+        np.testing.assert_allclose(K[h], g2 * np.exp(-0.5 * d2), rtol=1e-4, atol=1e-5)
+
+
+def test_gram_batched_class_axis():
+    rng = np.random.default_rng(1)
+    D, M, O, H = 2, 4, 3, 2
+    theta = rng.standard_normal((H, D + 1)).astype(np.float32) * 0.2
+    x = rng.standard_normal((O, M, D)).astype(np.float32)
+    K = np.asarray(kernels.gram(jnp.asarray(theta), jnp.asarray(x)))
+    assert K.shape == (H, O, M, M)
+    # symmetric PSD per (h, o)
+    np.testing.assert_allclose(K, np.swapaxes(K, -1, -2), rtol=1e-5, atol=1e-6)
+    for h in range(H):
+        for o in range(O):
+            w = np.linalg.eigvalsh(K[h, o])
+            assert w.min() > -1e-5
+
+
+def test_sample_hypers_and_kl():
+    key = jax.random.key(0)
+    params = RBFParams(
+        log_mean=jnp.asarray([0.1, -0.2, 0.3]),
+        log_logvar=jnp.asarray([-2.0, -2.0, -2.0]),
+    )
+    prior = RBFPrior(log_mean=jnp.zeros(3), log_logvar=jnp.zeros(3))
+
+    s = kernels.sample_hypers(key, params, 10000)
+    assert s.shape == (10000, 3)
+    np.testing.assert_allclose(
+        np.asarray(s).mean(0), np.asarray(params.log_mean), atol=0.01
+    )
+    np.testing.assert_allclose(
+        np.asarray(s).std(0), np.exp(-1.0) * np.ones(3), atol=0.01
+    )
+
+    s_map = kernels.sample_hypers(key, params, 5, map_est=True)
+    assert s_map.shape == (1, 3)
+    np.testing.assert_allclose(np.asarray(s_map)[0], np.asarray(params.log_mean))
+
+    kl = kernels.kl_hypers(params, prior)
+    # closed form per-dim: 0.5 (var + mu^2 - 1 - logvar)
+    var = np.exp(-2.0)
+    mus = np.asarray(params.log_mean)
+    expect = (0.5 * (var + mus**2 - 1 + 2.0)).sum()
+    np.testing.assert_allclose(float(kl), expect, rtol=1e-5)
+    assert float(kernels.kl_hypers(params, prior, map_est=True)) == 0.0
+
+
+def test_gram_parity_with_reference(reference_modules):
+    import torch
+
+    rng = np.random.default_rng(2)
+    D, M, N, H, O = 4, 6, 5, 3, 2
+    theta = (rng.standard_normal((H, D + 1)) * 0.3).astype(np.float32)
+    x = rng.standard_normal((O, M, D)).astype(np.float32)
+    y = rng.standard_normal((O, N, D)).astype(np.float32)
+
+    ours = np.asarray(kernels.gram(jnp.asarray(theta), jnp.asarray(x), jnp.asarray(y)))
+
+    ref_k = reference_modules["kernels"].RBFKernel(D)
+    theirs = ref_k.compute(torch.tensor(theta), torch.tensor(x), torch.tensor(y))
+    np.testing.assert_allclose(ours, theirs.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+    ours_d = np.asarray(kernels.gram_diag(jnp.asarray(theta)))
+    theirs_d = ref_k.compute_diag(torch.tensor(theta)).numpy()
+    np.testing.assert_allclose(ours_d, theirs_d, rtol=1e-5)
+
+
+def test_deep_gram_shapes():
+    key = jax.random.key(0)
+    phi = kernels.init_mlp(key, in_size=10, hidden=32, feature_size=8)
+    theta = jnp.zeros((2, 9))
+    x = jax.random.normal(jax.random.key(1), (3, 5, 10))
+    K = kernels.deep_gram(phi, theta, x)
+    assert K.shape == (2, 3, 5, 5)
+    feats = kernels.mlp_apply(phi, x)
+    assert feats.shape == (3, 5, 8)

@@ -22,8 +22,11 @@ def add_jitter(K: jax.Array, eps: float = DEFAULT_JITTER) -> jax.Array:
 
 
 def cholesky(K: jax.Array, eps: float = DEFAULT_JITTER) -> jax.Array:
-    """Lower Cholesky factor of K + eps*I (parity: gp_utils.py:5-11)."""
-    return jnp.linalg.cholesky(add_jitter(K, eps))
+    """Lower Cholesky factor of K + eps*I (parity: gp_utils.py:5-11).
+    Routed through ops dispatch so the Pallas TPU path can take over."""
+    from vargp_tpu.ops.dispatch import batched_cholesky
+
+    return batched_cholesky(add_jitter(K, eps))
 
 
 def rev_cholesky(L: jax.Array) -> jax.Array:

@@ -1,0 +1,106 @@
+"""RBF-ARD kernel with variational log-hyperparameters.
+
+Parity: var_gp/kernels.py:7-77.  theta = (log lengthscales[D], log scale);
+q(theta) = N(log_mean, diag exp(log_logvar)); n_hypers reparameterized
+samples flow through the whole ELBO.
+
+TPU-first notes: the Gram evaluation pre-scales inputs per hyper-sample and
+calls the fused ``ops.rbf_gram`` (MXU matmul + elementwise exp); hyper and
+class axes ride as leading batch dims end to end.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from vargp_tpu.gpmath.mvn import diag_normal_kl
+from vargp_tpu.ops.dispatch import rbf_gram
+
+
+class RBFParams(NamedTuple):
+    """Trainable variational posterior over log-hyperparameters."""
+
+    log_mean: jax.Array  # (D + 1,)
+    log_logvar: jax.Array  # (D + 1,)
+
+
+class RBFPrior(NamedTuple):
+    """Frozen prior over log-hyperparameters (chained across tasks)."""
+
+    log_mean: jax.Array  # (D + 1,)
+    log_logvar: jax.Array  # (D + 1,)
+
+
+def init_rbf(key: jax.Array, in_size: int, dtype=jnp.float32) -> RBFParams:
+    """Init mirrors the reference: log_mean = log(0.5) + 0.05 * N(0,1),
+    log_logvar = -2 (kernels.py:14-17)."""
+    noise = 0.05 * jax.random.normal(key, (in_size + 1,), dtype=dtype)
+    return RBFParams(
+        log_mean=jnp.log(jnp.asarray(0.5, dtype)) + noise,
+        log_logvar=-2.0 * jnp.ones((in_size + 1,), dtype),
+    )
+
+
+def default_prior(in_size: int, dtype=jnp.float32) -> RBFPrior:
+    """Standard-normal prior over log-hypers (kernels.py:19-22)."""
+    return RBFPrior(
+        log_mean=jnp.zeros((in_size + 1,), dtype),
+        log_logvar=jnp.zeros((in_size + 1,), dtype),
+    )
+
+
+def sample_hypers(
+    key: jax.Array, params: RBFParams, n_hypers: int, *, map_est: bool = False
+) -> jax.Array:
+    """theta ~ q(theta), reparameterized; (n_hypers, D+1).  With map_est the
+    point estimate log_mean is used (a single 'sample')."""
+    if map_est:
+        return params.log_mean[None, :]
+    std = jnp.exp(0.5 * params.log_logvar)
+    eps = jax.random.normal(key, (n_hypers, *params.log_mean.shape), params.log_mean.dtype)
+    return params.log_mean + std * eps
+
+
+def kl_hypers(params: RBFParams, prior: RBFPrior, *, map_est: bool = False) -> jax.Array:
+    """KL(q(theta) || p(theta)), summed over dims; 0 under MAP
+    (kernels.py:70-77)."""
+    if map_est:
+        return jnp.zeros((), params.log_mean.dtype)
+    return jnp.sum(
+        diag_normal_kl(
+            params.log_mean, params.log_logvar, prior.log_mean, prior.log_logvar
+        )
+    )
+
+
+def _split_theta(theta: jax.Array, n_batch_dims: int):
+    """theta: (n_hypers, D+1) -> per-sample lengthscales sigma and scale
+    gamma2, shaped to broadcast over ``n_batch_dims`` trailing batch axes."""
+    shape = (theta.shape[0], *([1] * n_batch_dims))
+    sigma = jnp.exp(theta[:, :-1]).reshape(*shape, -1)
+    gamma2 = jnp.exp(2.0 * theta[:, -1]).reshape(*shape, 1)
+    return sigma, gamma2
+
+
+def gram(theta: jax.Array, x: jax.Array, y: jax.Array | None = None) -> jax.Array:
+    """Batched RBF Gram matrix (kernels.py:24-56).
+
+    Arguments:
+      theta: (n_hypers, D+1) sampled log-hyperparameters.
+      x: ...batch x M x D
+      y: ...batch x N x D or None (y = x)
+
+    Returns: n_hypers x ...batch x M x N
+    """
+    n_batch = x.ndim - 1  # hyper axis is prepended; batch dims + row dim
+    sigma, gamma2 = _split_theta(theta, n_batch - 1)
+    sx = x[None] / sigma[..., None, :]
+    sy = sx if y is None else y[None] / sigma[..., None, :]
+    return rbf_gram(sx, sy, gamma2[..., None])
+
+
+def gram_diag(theta: jax.Array) -> jax.Array:
+    """Diagonal of k(x,x) = gamma^2, shaped (n_hypers, 1, 1)
+    (kernels.py:58-60)."""
+    return jnp.exp(2.0 * theta[:, -1])[:, None, None]
