@@ -1,0 +1,300 @@
+"""VAR-GP: variational auto-regressive GP for continual learning.
+
+Parity: var_gp/vargp.py (the paper's method).  Task t's variational
+posterior over its inducing outputs is conditioned on ALL previous tasks'
+(frozen) variational distributions through the auto-regressive chain
+q(u_{<=t}|theta) (vargp.py:35-88), with an EP-style mean parameterization
+(prior conditional mean + free offset, vargp.py:151) and MC-sampled
+Bayesian kernel hyperparameters.
+
+TPU-first design (see gpmath.conditional): everything is a pure function of
+a parameter pytree; the whole forward does ONE batched Cholesky of the full
+inducing Gram and reads every AR-chain quantity (per-task projections,
+conditional prior covariance = trailing Cholesky block, prefix posteriors =
+leading blocks) out of its sub-blocks.  The reference computes, per step,
+t-1 growing Choleskys in compute_q + chol(K_full) + chol(S) in
+linear_marginal_diag + chol(prior_cov) in forward — all collapsed here.
+"""
+
+from dataclasses import dataclass
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+
+from vargp_tpu import gpmath
+from vargp_tpu.gpmath.linalg import _HIGHEST
+from vargp_tpu.kernels import (
+    MLPParams,
+    RBFParams,
+    RBFPrior,
+    deep_gram,
+    default_prior,
+    gram,
+    gram_diag,
+    init_mlp,
+    init_rbf,
+    kl_hypers,
+    sample_hypers,
+)
+from vargp_tpu.likelihoods import softmax_loss, softmax_predict
+
+
+class TaskPosterior(NamedTuple):
+    """Frozen variational posterior of a completed task (the checkpoint
+    chain entry; parity: vargp.py:17-20 where u_tril is pre-unpacked)."""
+
+    z: jax.Array  # (O, M, D)
+    u_mean: jax.Array  # (O, M, 1)
+    u_tril: jax.Array  # (O, M, M)
+
+
+class VARGPParams(NamedTuple):
+    """Trainable parameters for the current task (parity: vargp.py:28-33 +
+    kernel variational params; phi present only under DKL)."""
+
+    z: jax.Array  # (O, M, D)
+    u_mean: jax.Array  # (O, M, 1)
+    u_tril_vec: jax.Array  # (O, M(M+1)/2)
+    kernel: RBFParams
+    phi: MLPParams | None = None
+
+
+@dataclass(frozen=True)
+class VARGPConfig:
+    """Static model configuration (hashable -> usable as a jit static arg)."""
+
+    M: int
+    out_size: int
+    in_size: int
+    n_f: int = 10
+    n_var_samples: int = 3
+    ep_var_mean: bool = True
+    map_est_hypers: bool = False
+    dkl: bool = False
+    jitter: float = gpmath.DEFAULT_JITTER
+
+
+class ForwardResult(NamedTuple):
+    f_mean: jax.Array  # (H, O, B)
+    f_var: jax.Array  # (H, O, B)
+    kl_hypers: jax.Array  # scalar
+    kl_u: jax.Array  # scalar
+
+
+def _gram_fn(params: VARGPParams, cfg: VARGPConfig):
+    if cfg.dkl:
+        return lambda theta, x, y=None: deep_gram(params.phi, theta, x, y)
+    return gram
+
+
+def _concat_chain(params: VARGPParams, prev: Sequence[TaskPosterior], cfg):
+    """Stack the AR chain's inducing points / means / scale factors in task
+    order, current task last."""
+    u_tril_t = gpmath.vec2tril(params.u_tril_vec, cfg.M)
+    z_all = jnp.concatenate([p.z for p in prev] + [params.z], axis=-2)
+    u_means = [p.u_mean for p in prev] + [params.u_mean]
+    u_trils = [p.u_tril for p in prev] + [u_tril_t]
+    return z_all, u_means, u_trils, u_tril_t
+
+
+def forward(
+    params: VARGPParams,
+    prev: Sequence[TaskPosterior],
+    prior: RBFPrior,
+    x: jax.Array,
+    key: jax.Array,
+    cfg: VARGPConfig,
+    *,
+    with_kl: bool,
+) -> ForwardResult:
+    """One fused ELBO forward pass (parity: vargp.py:115-194).
+
+    x: (B, D).  Returns diag predictive moments per hyper-sample and, when
+    ``with_kl``, the two KL terms of the ELBO.
+    """
+    k_hyp, k_u = jax.random.split(key)
+    theta = sample_hypers(k_hyp, params.kernel, cfg.n_var_samples, map_est=cfg.map_est_hypers)
+    gram_ = _gram_fn(params, cfg)
+
+    z_all, u_means, u_trils, u_tril_t = _concat_chain(params, prev, cfg)
+
+    Kzz = gram_(theta, z_all)  # (H, O, SM, SM)
+    L = gpmath.cholesky(Kzz, cfg.jitter)
+
+    post = gpmath.ar_joint_posterior(L, u_means, u_trils)
+
+    xb = jnp.broadcast_to(x[None], (cfg.out_size, *x.shape))
+    Kzx = gram_(theta, z_all, xb)  # (H, O, SM, B)
+    kxx_diag = gram_diag(theta)  # (H, 1, 1)
+
+    f_mean, f_var = gpmath.whitened_marginal_diag(L, post.mean, post.LS, Kzx, kxx_diag)
+
+    if not with_kl:
+        zero = jnp.zeros((), f_mean.dtype)
+        return ForwardResult(f_mean, f_var, zero, zero)
+
+    klh = kl_hypers(params.kernel, prior, map_est=cfg.map_est_hypers)
+
+    if prev:
+        c = z_all.shape[-2] - cfg.M
+        L11 = L[..., :c, :c]
+        L21 = L[..., c:, :c]
+        L22 = L[..., c:, c:]  # == chol of p(u_t | u_{<t}, theta) covariance
+
+        # u_{<t} ~ q(u_{<t}|theta): prefix of the joint posterior, n_v draws
+        # (parity: vargp.py:137-138)
+        mu_lt = post.mean[..., :c, 0]
+        LS_lt = post.LS[..., :c, :c]
+        u_lt = gpmath.mvn_sample(k_u, mu_lt, LS_lt, sample_shape=(cfg.n_var_samples,))
+
+        # conditional prior mean K_{t,<t} K_{<t}^{-1} u_{<t} = L21 L11^{-1} u
+        w = gpmath.tri_solve(L11, u_lt[..., None])
+        prior_mu_t = jnp.einsum("...ij,...jk->...ik", L21, w, precision=_HIGHEST)[..., 0]
+
+        # EP-style variational mean (vargp.py:151)
+        mask = 1.0 if cfg.ep_var_mean else 0.0
+        var_mu_t = prior_mu_t * mask + params.u_mean[..., 0]
+
+        kl = gpmath.mvn_kl(var_mu_t, u_tril_t, prior_mu_t, L22)  # (n_v, H, O)
+        kl_u = jnp.mean(jnp.sum(kl, axis=-1))
+    else:
+        # task 0: q(u_0) vs N(0, Kzz) (vargp.py:156-173)
+        kl = gpmath.mvn_kl(
+            params.u_mean[..., 0], u_tril_t, jnp.zeros_like(params.u_mean[..., 0]), L
+        )  # (H, O)
+        kl_u = jnp.mean(jnp.sum(kl, axis=-1))
+
+    return ForwardResult(f_mean, f_var, klh, kl_u)
+
+
+def loss(
+    params: VARGPParams,
+    prev: Sequence[TaskPosterior],
+    prior: RBFPrior,
+    x: jax.Array,
+    y: jax.Array,
+    key: jax.Array,
+    cfg: VARGPConfig,
+):
+    """ELBO pieces (kl_hypers, kl_u, nll) — parity: vargp.py:177-194.
+    The driver combines them as beta*kl_hypers + kl_u + (N/B)*nll."""
+    k_fwd, k_lik = jax.random.split(key)
+    out = forward(params, prev, prior, x, k_fwd, cfg, with_kl=True)
+    nll = softmax_loss(k_lik, out.f_mean, out.f_var, y, cfg.n_f)
+    return out.kl_hypers, out.kl_u, nll
+
+
+def predict(
+    params: VARGPParams,
+    prev: Sequence[TaskPosterior],
+    x: jax.Array,
+    key: jax.Array,
+    cfg: VARGPConfig,
+    *,
+    n_f: int | None = None,
+    n_var_samples: int | None = None,
+) -> jax.Array:
+    """Predictive class probabilities, (B, out_size) — parity vargp.py:196-198.
+    Eval-time MC budgets (n_f, n_var_samples) can be overridden, matching the
+    notebooks' protocol (mnist.ipynb cell 12: n_f=50+, n_var_samples=20)."""
+    cfg_eval = cfg
+    if n_f is not None or n_var_samples is not None:
+        from dataclasses import replace
+
+        cfg_eval = replace(
+            cfg,
+            n_f=n_f or cfg.n_f,
+            n_var_samples=n_var_samples or cfg.n_var_samples,
+        )
+    k_fwd, k_lik = jax.random.split(key)
+    out = forward(
+        params, prev, default_prior(_theta_size(cfg_eval)), x, k_fwd, cfg_eval,
+        with_kl=False,
+    )
+    return softmax_predict(k_lik, out.f_mean, out.f_var, cfg_eval.n_f)
+
+
+def _theta_size(cfg: VARGPConfig) -> int:
+    from vargp_tpu.kernels.deep import DEFAULT_FEATURES
+
+    return DEFAULT_FEATURES if cfg.dkl else cfg.in_size
+
+
+# ---------------------------------------------------------------------------
+# Construction / task chaining (parity: VARGP.create_clf, vargp.py:200-243)
+# ---------------------------------------------------------------------------
+
+
+def init_params(
+    key: jax.Array,
+    z_init: jax.Array,
+    cfg: VARGPConfig,
+    *,
+    kernel_prior_from: RBFParams | None = None,
+    phi_init: MLPParams | None = None,
+) -> tuple[VARGPParams, RBFPrior]:
+    """Build trainable params for a new task.
+
+    z_init: (O, M, D) inducing inputs (typically random data rows per class,
+    vargp.py:207-209).  The kernel hyperprior chains from the previous
+    task's posterior when given (vargp.py:216-217); under DKL the feature
+    map warm-starts from ``phi_init`` (vargp.py:219-221,234-235).
+    """
+    k_kern, k_u, k_phi = jax.random.split(key, 3)
+    theta_size = _theta_size(cfg)
+
+    kernel = init_rbf(k_kern, theta_size)
+    if kernel_prior_from is not None:
+        prior = RBFPrior(
+            log_mean=kernel_prior_from.log_mean,
+            log_logvar=kernel_prior_from.log_logvar,
+        )
+    else:
+        prior = default_prior(theta_size)
+
+    phi = None
+    if cfg.dkl:
+        phi = phi_init if phi_init is not None else init_mlp(k_phi, cfg.in_size)
+
+    u_mean = 0.5 * jax.random.normal(k_u, (cfg.out_size, cfg.M, 1))
+    # reference init: packed identity (raw 1.0 diag) -> softplus(1) on the
+    # unpacked diagonal (vargp.py:32-33); replicated for trajectory parity
+    rows_cols_equal = _diag_mask_vec(cfg.M)
+    u_tril_vec = jnp.broadcast_to(
+        rows_cols_equal, (cfg.out_size, rows_cols_equal.shape[-1])
+    )
+
+    return (
+        VARGPParams(
+            z=z_init, u_mean=u_mean, u_tril_vec=u_tril_vec, kernel=kernel, phi=phi
+        ),
+        prior,
+    )
+
+
+def _diag_mask_vec(m: int) -> jax.Array:
+    import numpy as np
+
+    rows, cols = gpmath.tril_indices(m)
+    return jnp.asarray((rows == cols).astype(np.float32))
+
+
+def freeze_task(params: VARGPParams) -> TaskPosterior:
+    """Convert a trained task's params into a frozen chain entry
+    (parity: vargp.py:17-20 — unpack u_tril once, drop kernel params the way
+    create_clf strips 'kernel.*' keys, vargp.py:223-229)."""
+    return TaskPosterior(
+        z=jax.lax.stop_gradient(params.z),
+        u_mean=jax.lax.stop_gradient(params.u_mean),
+        u_tril=jax.lax.stop_gradient(gpmath.vec2tril(params.u_tril_vec)),
+    )
+
+
+def select_inducing(key: jax.Array, data: jax.Array, M: int, out_size: int):
+    """Inducing init: M random data rows per class head (vargp.py:207-209)."""
+    keys = jax.random.split(key, out_size)
+    idx = jnp.stack(
+        [jax.random.permutation(k, data.shape[0])[:M] for k in keys]
+    )
+    return data[idx]  # (O, M, D)
