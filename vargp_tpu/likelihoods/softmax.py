@@ -25,14 +25,26 @@ def softmax_sample_logits(
 
 
 def softmax_loss(
-    key: jax.Array, mu: jax.Array, var: jax.Array, y: jax.Array, n_f: int
+    key: jax.Array,
+    mu: jax.Array,
+    var: jax.Array,
+    y: jax.Array,
+    n_f: int,
+    weights: jax.Array | None = None,
 ) -> jax.Array:
     """Expected NLL estimate: mean over (n_hypers, n_f), SUM over batch
-    (likelihoods.py:33-47)."""
+    (likelihoods.py:33-47).
+
+    ``weights`` (B,) masks padded batch rows (static-shape batching on TPU:
+    the last partial minibatch is padded and zero-weighted instead of
+    triggering a recompile)."""
     log_p = softmax_sample_logits(key, mu, var, n_f)  # H x F x O x B
     y_onehot = jax.nn.one_hot(y, log_p.shape[-2], dtype=log_p.dtype)  # B x O
     picked = jnp.einsum("hfob,bo->hfb", log_p, y_onehot)
-    return -jnp.sum(jnp.mean(picked, axis=(0, 1)))
+    per_example = jnp.mean(picked, axis=(0, 1))  # (B,)
+    if weights is not None:
+        per_example = per_example * weights
+    return -jnp.sum(per_example)
 
 
 def softmax_predict(

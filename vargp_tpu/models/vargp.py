@@ -176,12 +176,14 @@ def loss(
     y: jax.Array,
     key: jax.Array,
     cfg: VARGPConfig,
+    weights: jax.Array | None = None,
 ):
     """ELBO pieces (kl_hypers, kl_u, nll) — parity: vargp.py:177-194.
-    The driver combines them as beta*kl_hypers + kl_u + (N/B)*nll."""
+    The driver combines them as beta*kl_hypers + kl_u + (N/B)*nll.
+    ``weights`` masks padded batch rows (static-shape batching)."""
     k_fwd, k_lik = jax.random.split(key)
     out = forward(params, prev, prior, x, k_fwd, cfg, with_kl=True)
-    nll = softmax_loss(k_lik, out.f_mean, out.f_var, y, cfg.n_f)
+    nll = softmax_loss(k_lik, out.f_mean, out.f_var, y, cfg.n_f, weights=weights)
     return out.kl_hypers, out.kl_u, nll
 
 

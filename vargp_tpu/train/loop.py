@@ -1,0 +1,178 @@
+"""Task-level training loop for VARGP.
+
+Parity: experiments/vargp.py:14-73 — per-task model construction, Yogi
+optimizer, ELBO assembly beta*kl_hypers + kl_u + (N/B)*nll, eval every
+``eval_interval`` epochs, early stopping on val accuracy, best-checkpoint
+return.
+
+TPU-first: one jitted update per (task, batch-shape) — static shapes via
+padded batches; params/opt_state donated; PRNG keys threaded host-side.
+"""
+
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vargp_tpu.data.core import ArrayDataset, batch_iter
+from vargp_tpu.kernels import RBFPrior
+from vargp_tpu.models import vargp as V
+from vargp_tpu.train.metrics import compute_accuracy
+from vargp_tpu.train.stopper import EarlyStopper
+
+
+@dataclass(frozen=True)
+class TrainHyperparams:
+    epochs: int = 1
+    lr: float = 1e-2
+    batch_size: int = 512
+    beta: float = 1.0
+    eval_interval: int = 10
+    patience: int = 20
+    optimizer: str = "yogi"  # matches torch_optimizer.Yogi (vargp.py:23)
+    eval_n_f: int | None = None
+    eval_n_var_samples: int | None = None
+
+
+def make_optimizer(hp: TrainHyperparams) -> optax.GradientTransformation:
+    if hp.optimizer == "yogi":
+        return optax.yogi(hp.lr)
+    if hp.optimizer == "adam":
+        return optax.adam(hp.lr)
+    raise ValueError(f"unknown optimizer {hp.optimizer!r}")
+
+
+def make_update_fn(cfg: V.VARGPConfig, tx, beta: float, n_train: int):
+    """Jitted ELBO step. prev/prior ride as pytree args so one compiled
+    program serves the whole task."""
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def update(params, opt_state, prev, prior, x, y, w, key):
+        def total_loss(p):
+            klh, klu, nll = V.loss(p, prev, prior, x, y, key, cfg, weights=w)
+            scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
+            return beta * klh + klu + scale * nll, (klh, klu, nll)
+
+        (loss_val, aux), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss_val, aux
+
+    return update
+
+
+def make_predict_fn(cfg: V.VARGPConfig, hp: TrainHyperparams | None = None):
+    n_f = hp.eval_n_f if hp else None
+    n_v = hp.eval_n_var_samples if hp else None
+
+    @jax.jit
+    def predict(params, prev, x, key):
+        return V.predict(params, prev, x, key, cfg, n_f=n_f, n_var_samples=n_v)
+
+    return predict
+
+
+def train_task(
+    key: jax.Array,
+    task_id: int,
+    train_set: ArrayDataset,
+    val_set: ArrayDataset,
+    test_set: ArrayDataset,
+    cfg: V.VARGPConfig,
+    hp: TrainHyperparams,
+    prev_chain: Sequence[V.VARGPParams] = (),
+    logger=None,
+    seed: int | None = None,
+):
+    """Train one task; returns (best_params, info dict).
+
+    ``prev_chain`` holds the best params of every earlier task; the frozen
+    TaskPosterior chain, kernel hyperprior chaining and DKL warm-start are
+    derived from it (parity: create_clf, vargp.py:200-243).
+    """
+    k_init, k_run = jax.random.split(key)
+
+    prev = tuple(V.freeze_task(p) for p in prev_chain)
+    kernel_prior_from = prev_chain[-1].kernel if prev_chain else None
+    phi_init = prev_chain[-1].phi if (prev_chain and cfg.dkl) else None
+
+    z_init = V.select_inducing(
+        k_init, jnp.asarray(train_set.data), cfg.M, cfg.out_size
+    )
+    params, prior = V.init_params(
+        k_init, z_init, cfg, kernel_prior_from=kernel_prior_from, phi_init=phi_init
+    )
+
+    tx = make_optimizer(hp)
+    opt_state = tx.init(params)
+    update = make_update_fn(cfg, tx, hp.beta, len(train_set))
+    predict = make_predict_fn(cfg, hp)
+
+    stopper = EarlyStopper(patience=hp.patience)
+    data_rng = np.random.default_rng(seed)
+    key_seq = k_run
+
+    aux = (jnp.zeros(()),) * 3
+    t_start = time.time()
+    steps = 0
+    for epoch in range(hp.epochs):
+        for b in batch_iter(train_set, hp.batch_size, rng=data_rng):
+            key_seq, k_step = jax.random.split(key_seq)
+            params, opt_state, loss_val, aux = update(
+                params, opt_state, prev, prior,
+                jnp.asarray(b.x), jnp.asarray(b.y), jnp.asarray(b.w), k_step,
+            )
+            steps += 1
+
+        if (epoch + 1) % hp.eval_interval == 0:
+            key_seq, k_ev = jax.random.split(key_seq)
+
+            def pf(x, _k=k_ev):
+                return predict(params, prev, jnp.asarray(x), _k)
+
+            train_acc = compute_accuracy(train_set, pf, hp.batch_size)
+            val_acc = compute_accuracy(val_set, pf, hp.batch_size)
+            test_acc = compute_accuracy(test_set, pf, hp.batch_size)
+
+            klh, klu, nll = (float(a) for a in aux)
+            scalars = {
+                f"task{task_id}/loss/kl_hypers": klh,
+                f"task{task_id}/loss/kl_u": klu,
+                f"task{task_id}/loss/lik": nll,
+                f"task{task_id}/train/acc": train_acc,
+                f"task{task_id}/val/acc": val_acc,
+                f"task{task_id}/test/acc": test_acc,
+            }
+            if logger is not None:
+                for k, v in scalars.items():
+                    logger.add_scalar(k, v, step=epoch + 1)
+
+            # snapshot: update() donates its params input buffers, so the
+            # stored best params must be an independent copy
+            params_snapshot = jax.tree_util.tree_map(jnp.copy, params)
+            stopper(
+                val_acc,
+                dict(
+                    params=params_snapshot,
+                    acc_summary={
+                        f"task{task_id}/train/acc": train_acc,
+                        f"task{task_id}/val/acc": val_acc,
+                        f"task{task_id}/test/acc": test_acc,
+                    },
+                    step=epoch + 1,
+                ),
+            )
+            if stopper.is_done():
+                break
+
+    info = stopper.info() or dict(params=params, acc_summary={}, step=hp.epochs)
+    info["steps_per_sec"] = steps / max(time.time() - t_start, 1e-9)
+    if logger is not None:
+        for k, v in info.get("acc_summary", {}).items():
+            logger.add_scalar(f"{k}_best", v, step=info.get("step", 0))
+    return info["params"], info
