@@ -265,3 +265,17 @@ class TestTorchOracle:
         )
         np.testing.assert_allclose(np.asarray(mu), ref_mu.numpy(), rtol=1e-3, atol=1e-3)
         np.testing.assert_allclose(np.asarray(var), ref_var.numpy(), rtol=1e-2, atol=1e-3)
+
+
+def test_tri_inv_matches_solve():
+    rng = np.random.default_rng(20)
+    for n in (5, 64, 200, 300):
+        K = rand_spd(rng, 3, n=n)
+        L = np.linalg.cholesky(K).astype(np.float32)
+        Linv = np.asarray(gpmath.tri_inv(jnp.asarray(L)))
+        np.testing.assert_allclose(
+            Linv @ L, np.broadcast_to(np.eye(n, dtype=np.float32), (3, n, n)),
+            atol=5e-3,
+        )
+        # lower-triangularity preserved
+        assert np.allclose(np.triu(Linv, 1), 0.0, atol=1e-6)

@@ -1,0 +1,130 @@
+"""Pallas kernels must match the XLA reference implementations to tolerance.
+On the CPU test platform, kernels run in interpreter mode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vargp_tpu.ops.dispatch import _rbf_gram_xla
+
+
+def _interpret_ctx():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.force_tpu_interpret_mode()
+
+
+def test_rbf_gram_pallas_matches_xla():
+    from vargp_tpu.ops.pallas.rbf_gram import rbf_gram_pallas
+
+    rng = np.random.default_rng(0)
+    H, O, M, N, D = 2, 3, 20, 17, 5
+    sx = jnp.asarray(rng.standard_normal((H, O, M, D)).astype(np.float32))
+    sy = jnp.asarray(rng.standard_normal((H, O, N, D)).astype(np.float32))
+    g2 = jnp.asarray(
+        np.abs(rng.standard_normal((H, 1, 1, 1))).astype(np.float32) + 0.5
+    )
+
+    expect = _rbf_gram_xla(sx, sy, g2)
+    with _interpret_ctx():
+        got = rbf_gram_pallas(sx, sy, g2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-5, atol=1e-6)
+
+
+def test_rbf_gram_pallas_large_feature_dim():
+    from vargp_tpu.ops.pallas.rbf_gram import rbf_gram_pallas
+
+    rng = np.random.default_rng(1)
+    G, M, N, D = 2, 130, 64, 300  # unaligned everything
+    sx = jnp.asarray(0.3 * rng.standard_normal((G, M, D)).astype(np.float32))
+    sy = jnp.asarray(0.3 * rng.standard_normal((G, N, D)).astype(np.float32))
+    g2 = jnp.ones((G, 1, 1), np.float32)
+
+    expect = _rbf_gram_xla(sx, sy, g2)
+    with _interpret_ctx():
+        got = rbf_gram_pallas(sx, sy, g2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect), rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("S", [16, 128, 200, 300])
+def test_cholesky_pallas_matches_lax(S):
+    from vargp_tpu.ops.pallas.chol import cholesky_pallas
+
+    rng = np.random.default_rng(S)
+    G = 3
+    A = rng.standard_normal((G, S, S)).astype(np.float32) / np.sqrt(S)
+    K = A @ np.swapaxes(A, -1, -2) + np.eye(S, dtype=np.float32)
+
+    expect = np.linalg.cholesky(K)
+    got = cholesky_pallas(jnp.asarray(K), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), expect, rtol=2e-3, atol=2e-4)
+
+
+def test_rbf_gram_pallas_custom_vjp_matches_xla_grad():
+    from vargp_tpu.ops.pallas.rbf_gram import rbf_gram_pallas
+
+    rng = np.random.default_rng(2)
+    H, M, N, D = 2, 9, 7, 4
+    sx = jnp.asarray(rng.standard_normal((H, M, D)).astype(np.float32))
+    sy = jnp.asarray(rng.standard_normal((H, N, D)).astype(np.float32))
+    g2 = jnp.asarray(np.abs(rng.standard_normal((H, 1, 1))).astype(np.float32) + 0.5)
+    ct = jnp.asarray(rng.standard_normal((H, M, N)).astype(np.float32))
+
+    def f_ref(sx, sy, g2):
+        return jnp.sum(_rbf_gram_xla(sx, sy, g2) * ct)
+
+    def f_pal(sx, sy, g2):
+        with _interpret_ctx():
+            return jnp.sum(rbf_gram_pallas(sx, sy, g2) * ct)
+
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(sx, sy, g2)
+    g_pal = jax.grad(f_pal, argnums=(0, 1, 2))(sx, sy, g2)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+class TestCholInv:
+    def _spd(self, G, S, seed):
+        rng = np.random.default_rng(seed)
+        A = rng.standard_normal((G, S, S)).astype(np.float32) / np.sqrt(S)
+        return A @ np.swapaxes(A, -1, -2) + np.eye(S, dtype=np.float32)
+
+    @pytest.mark.parametrize("S", [16, 128, 300])
+    def test_forward_matches_xla(self, S):
+        from vargp_tpu.ops.pallas.chol_inv import _chol_inv_call
+
+        K = jnp.asarray(self._spd(3, S, S))
+        L, Linv = _chol_inv_call(K, interpret=True)
+        expect_L = np.linalg.cholesky(np.asarray(K))
+        np.testing.assert_allclose(np.asarray(L), expect_L, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(
+            np.asarray(Linv) @ expect_L,
+            np.broadcast_to(np.eye(S, dtype=np.float32), (3, S, S)),
+            atol=5e-3,
+        )
+
+    def test_vjp_matches_xla_composition(self):
+        from vargp_tpu import gpmath
+        from vargp_tpu.ops.pallas.chol_inv import chol_and_inv_pallas
+
+        K = jnp.asarray(self._spd(2, 40, 7))
+        rng = np.random.default_rng(8)
+        wL = jnp.asarray(rng.standard_normal((2, 40, 40)).astype(np.float32))
+        wI = jnp.asarray(rng.standard_normal((2, 40, 40)).astype(np.float32))
+
+        def f_ref(K):
+            L = jnp.linalg.cholesky(K)
+            return jnp.sum(L * wL) + jnp.sum(gpmath.tri_inv(L) * wI)
+
+        def f_pal(K):
+            with _interpret_ctx():
+                L, Linv = chol_and_inv_pallas(K)
+            return jnp.sum(L * wL) + jnp.sum(Linv * wI)
+
+        # symmetrized gradient comparison (conventions differ on the
+        # asymmetric part, which never matters for symmetric K(theta))
+        g_ref = jax.grad(f_ref)(K)
+        g_pal = jax.grad(f_pal)(K)
+        sym = lambda A: 0.5 * (np.asarray(A) + np.swapaxes(np.asarray(A), -1, -2))
+        np.testing.assert_allclose(sym(g_pal), sym(g_ref), rtol=2e-2, atol=2e-3)

@@ -1,0 +1,104 @@
+"""Multi-device sharding tests on the virtual 8-CPU mesh: the sharded train
+step must compile, run, and match the single-device step numerically."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from vargp_tpu import parallel
+from vargp_tpu.kernels import default_prior
+from vargp_tpu.models import vargp as V
+from vargp_tpu.train.loop import TrainHyperparams, make_optimizer, make_update_fn
+
+
+def tiny_problem(out=8, M=4, D=6, B=16, n_prev=1, seed=0):
+    rng = np.random.default_rng(seed)
+    f32 = np.float32
+    key = jax.random.key(seed)
+
+    prev_chain = []
+    for t in range(n_prev):
+        z = jnp.asarray(rng.standard_normal((out, M, D)).astype(f32))
+        u_mean = jnp.asarray(rng.standard_normal((out, M, 1)).astype(f32) * 0.3)
+        u_tv = jnp.asarray(
+            rng.standard_normal((out, (M * (M + 1)) // 2)).astype(f32) * 0.2
+        )
+        from vargp_tpu import gpmath
+
+        prev_chain.append(
+            V.TaskPosterior(z=z, u_mean=u_mean, u_tril=gpmath.vec2tril(u_tv))
+        )
+
+    cfg = V.VARGPConfig(M=M, out_size=out, in_size=D, n_f=4, n_var_samples=2)
+    z_init = jnp.asarray(rng.standard_normal((out, M, D)).astype(f32))
+    params, prior = V.init_params(key, z_init, cfg)
+    x = jnp.asarray(rng.standard_normal((B, D)).astype(f32))
+    y = jnp.asarray(rng.integers(0, out, B))
+    w = jnp.ones((B,), jnp.float32)
+    return params, tuple(prev_chain), prior, cfg, x, y, w
+
+
+def test_mesh_construction():
+    mesh = parallel.make_mesh(8)
+    assert mesh.axis_names == ("data", "model")
+    assert mesh.devices.shape == (4, 2)
+    mesh1 = parallel.make_mesh(8, model_parallel=1)
+    assert mesh1.devices.shape == (8, 1)
+    with pytest.raises(ValueError):
+        parallel.make_mesh(7, model_parallel=2)
+
+
+def test_param_sharding_rules():
+    params, prev, prior, cfg, *_ = tiny_problem()
+    mesh = parallel.make_mesh(8)
+    sh = parallel.infer_param_shardings(params, mesh, cfg.out_size)
+    assert sh.z.spec == jax.sharding.PartitionSpec("model", None, None)
+    assert sh.u_tril_vec.spec == jax.sharding.PartitionSpec("model", None)
+    assert sh.kernel.log_mean.spec == jax.sharding.PartitionSpec()
+
+
+def test_sharded_update_matches_single_device():
+    params, prev, prior, cfg, x, y, w = tiny_problem()
+    hp = TrainHyperparams(lr=1e-2)
+    key = jax.random.key(42)
+
+    # single-device baseline
+    tx = make_optimizer(hp)
+    update = make_update_fn(cfg, tx, beta=1.0, n_train=100)
+    p1 = jax.tree_util.tree_map(jnp.copy, params)
+    o1 = tx.init(p1)
+    p1, o1, loss1, aux1 = update(p1, o1, prev, prior, x, y, w, key)
+
+    # sharded run on the 8-device mesh (4 data x 2 model)
+    mesh = parallel.make_mesh(8)
+    p2 = parallel.shard_params(jax.tree_util.tree_map(jnp.copy, params), mesh, cfg.out_size)
+    prev_s = parallel.shard_params(prev, mesh, cfg.out_size)
+    tx2 = make_optimizer(hp)
+    o2 = parallel.shard_params(tx2.init(p2), mesh, cfg.out_size)
+    xs, ys, ws = parallel.shard_batch(x, y, w, mesh)
+    update_s = parallel.make_sharded_update_fn(cfg, tx2, beta=1.0, n_train=100, mesh=mesh)
+    p2, o2, loss2, aux2 = update_s(p2, o2, prev_s, prior, xs, ys, ws, key)
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_predict_matches_single_device():
+    params, prev, prior, cfg, x, y, w = tiny_problem()
+    key = jax.random.key(3)
+    pred = parallel.make_sharded_predict_fn(cfg)
+
+    probs1 = pred(params, prev, x, key)
+
+    mesh = parallel.make_mesh(8)
+    p2 = parallel.shard_params(params, mesh, cfg.out_size)
+    prev_s = parallel.shard_params(prev, mesh, cfg.out_size)
+    xs = jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("data", None))
+    )
+    probs2 = pred(p2, prev_s, xs, key)
+    np.testing.assert_allclose(
+        np.asarray(probs1), np.asarray(probs2), rtol=1e-3, atol=1e-5
+    )

@@ -22,6 +22,7 @@ from vargp_tpu.gpmath.linalg import (
     cholesky,
     rev_cholesky,
     tri_solve,
+    tri_inv,
     chol_solve,
 )
 from vargp_tpu.gpmath.mvn import (
@@ -48,6 +49,7 @@ __all__ = [
     "cholesky",
     "rev_cholesky",
     "tri_solve",
+    "tri_inv",
     "chol_solve",
     "mvn_kl",
     "mvn_log_prob",

@@ -126,6 +126,7 @@ def ar_joint_posterior(
     L_full: jax.Array,
     u_means: Sequence[jax.Array],
     u_trils: Sequence[jax.Array],
+    L_inv: jax.Array | None = None,
 ) -> ARPosterior:
     """Fold the auto-regressive chain into (mean, scale_tril) of
     q(u_{<=t}|theta) using only sub-blocks of the full-Gram Cholesky.
@@ -156,9 +157,14 @@ def ar_joint_posterior(
         L21 = L_full[..., c : c + Mt, :c]
         # One solve serves both the mean and the scale factor: A X = L21 L11^{-1} X.
         rhs = jnp.concatenate([mean, LS], axis=-1)
-        AX = jnp.einsum(
-            "...ij,...jk->...ik", L21, tri_solve(L11, rhs), precision=_HIGHEST
-        )
+        if L_inv is not None:
+            # matmul path: leading block of L^{-1} is the inverse of L11
+            w = jnp.einsum(
+                "...ij,...jk->...ik", L_inv[..., :c, :c], rhs, precision=_HIGHEST
+            )
+        else:
+            w = tri_solve(L11, rhs)
+        AX = jnp.einsum("...ij,...jk->...ik", L21, w, precision=_HIGHEST)
         mean = jnp.concatenate(
             [mean, AX[..., :1] + u_means[t]], axis=-2
         )
@@ -179,6 +185,7 @@ def whitened_marginal_diag(
     LS: jax.Array,
     Kzx: jax.Array,
     Kxx_diag: jax.Array,
+    L_inv: jax.Array | None = None,
 ):
     """Diagonal predictive marginal given a precomputed Gram Cholesky and an
     exact posterior scale factor (no chol(S) needed, unlike
@@ -204,7 +211,10 @@ def whitened_marginal_diag(
         ],
         axis=-1,
     )
-    sol = tri_solve(L, rhs)
+    if L_inv is not None:
+        sol = jnp.einsum("...ij,...jk->...ik", L_inv, rhs, precision=_HIGHEST)
+    else:
+        sol = tri_solve(L, rhs)
     Lm, LLS, W = sol[..., :1], sol[..., 1 : 1 + M], sol[..., 1 + M :]
 
     f_mean = jnp.einsum("...mi,...mb->...b", Lm, W, precision=_HIGHEST)

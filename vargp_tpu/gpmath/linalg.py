@@ -56,6 +56,85 @@ def chol_solve(L: jax.Array, B: jax.Array) -> jax.Array:
     return tri_solve(L, tri_solve(L, B), transpose=True)
 
 
+_TRI_INV_BLOCK = 128
+
+
+def _tri_inv_newton(L: jax.Array) -> jax.Array:
+    """Exact lower-triangular inverse by Newton-Schulz, pure matmuls.
+
+    With X0 = diag(L)^{-1}, the residual E0 = I - L X0 is STRICTLY lower
+    triangular, hence nilpotent with index <= n; the iteration
+    X <- X (2I - L X) squares the residual (E <- E^2), so after
+    ceil(log2(n)) steps the inverse is exact up to rounding — every step is
+    an MXU matmul, avoiding XLA's latency-heavy InvertDiagBlocks /
+    TriangularSolve custom-calls on TPU entirely.
+    """
+    n = L.shape[-1]
+    steps = max(1, (n - 1).bit_length())
+    eye = jnp.eye(n, dtype=L.dtype)
+    inv_d = 1.0 / jnp.diagonal(L, axis1=-2, axis2=-1)
+    X = eye * inv_d[..., :, None]
+    two_eye = 2.0 * eye
+    for _ in range(steps):
+        LX = jnp.einsum("...ij,...jk->...ik", L, X, precision=_HIGHEST)
+        X = jnp.einsum("...ij,...jk->...ik", X, two_eye - LX, precision=_HIGHEST)
+    return X
+
+
+def tri_inv(L: jax.Array, block: int = _TRI_INV_BLOCK) -> jax.Array:
+    """Explicit inverse of a batched lower-triangular matrix.
+
+    TPU-first rationale: XLA's TriangularSolve on TPU is substitution-bound
+    and dominates the ELBO step (measured ~4 ms per solve group at
+    sum(M)=300 vs ~0.03 ms for the same FLOPs as matmul).  Computing L^{-1}
+    once turns every downstream whitening/solve into an MXU matmul.  The
+    blocked construction does true (batched) triangular solves only on
+    128x128 diagonal blocks and builds the off-diagonal blocks with
+    matmuls:
+
+        X[i,i] = inv(L[i,i]);   X[i,:i] = -X[i,i] @ L[i,:i] @ X[:i,:i]
+
+    L must be well-conditioned (it comes from a jittered Cholesky here);
+    the accuracy loss vs substitution is within f32 tolerance for the
+    kernel matrices this framework produces (see tests).
+    """
+    S = L.shape[-1]
+    batch = L.shape[:-2]
+    if S <= block:
+        return _tri_inv_newton(L)
+
+    nb = -(-S // block)
+    Sp = nb * block
+    if Sp != S:
+        # pad with an identity tail: inverse of blockdiag(L, I) keeps the
+        # leading S x S block exact
+        Lp = jnp.zeros((*batch, Sp, Sp), L.dtype) + jnp.eye(Sp, dtype=L.dtype)
+        L = Lp.at[..., :S, :S].set(L)
+
+    # batched matmul-only inversion of the nb diagonal blocks
+    diag_blocks = jnp.stack(
+        [L[..., i * block : (i + 1) * block, i * block : (i + 1) * block]
+         for i in range(nb)],
+        axis=-3,
+    )  # (..., nb, B, B)
+    dinv = _tri_inv_newton(diag_blocks)
+
+    X = jnp.zeros_like(L)
+    X = X.at[..., :block, :block].set(dinv[..., 0, :, :])
+    for i in range(1, nb):
+        r0, r1 = i * block, (i + 1) * block
+        Li = L[..., r0:r1, :r0]
+        Xprev = X[..., :r0, :r0]
+        prod = jnp.einsum("...ij,...jk->...ik", Li, Xprev, precision=_HIGHEST)
+        row = -jnp.einsum(
+            "...ij,...jk->...ik", dinv[..., i, :, :], prod, precision=_HIGHEST
+        )
+        X = X.at[..., r0:r1, :r0].set(row)
+        X = X.at[..., r0:r1, r0:r1].set(dinv[..., i, :, :])
+
+    return X[..., :S, :S]
+
+
 def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     """Batched matmul at HIGHEST precision (f32 accumulation on the MXU)."""
     return jnp.einsum("...ij,...jk->...ik", a, b, precision=_HIGHEST)

@@ -25,22 +25,28 @@ def mvn_kl(
     L_q: jax.Array,
     mu_p: jax.Array,
     L_p: jax.Array,
+    Lp_inv: jax.Array | None = None,
 ) -> jax.Array:
     """KL( N(mu_q, L_q L_q^T) || N(mu_p, L_p L_p^T) ), batched.
 
     Arguments:
       mu_q, mu_p: ... x k
       L_q, L_p:   ... x k x k  lower-triangular scale factors
+      Lp_inv: optional precomputed inverse of L_p (TPU matmul fast path)
 
     Returns: ... (batch of scalars)
     """
     k = mu_q.shape[-1]
     # tr(Sigma_p^{-1} Sigma_q) = || L_p^{-1} L_q ||_F^2
-    M = tri_solve(L_p, jnp.broadcast_to(L_q, jnp.broadcast_shapes(L_q.shape, L_p.shape)))
-    trace = jnp.sum(jnp.square(M), axis=(-2, -1))
-    # Mahalanobis term || L_p^{-1} (mu_p - mu_q) ||^2
+    Lq_b = jnp.broadcast_to(L_q, jnp.broadcast_shapes(L_q.shape, L_p.shape))
     diff = (mu_p - mu_q)[..., None]
-    w = tri_solve(L_p, diff)
+    if Lp_inv is not None:
+        M = jnp.einsum("...ij,...jk->...ik", Lp_inv, Lq_b, precision=_HIGHEST)
+        w = jnp.einsum("...ij,...jk->...ik", Lp_inv, diff, precision=_HIGHEST)
+    else:
+        M = tri_solve(L_p, Lq_b)
+        w = tri_solve(L_p, diff)
+    trace = jnp.sum(jnp.square(M), axis=(-2, -1))
     maha = jnp.sum(jnp.square(w), axis=(-2, -1))
     # log|Sigma_p| - log|Sigma_q| = 2 (sum log diag L_p - sum log diag L_q)
     logdet = jnp.sum(_log_diag(L_p), axis=-1) - jnp.sum(_log_diag(L_q), axis=-1)

@@ -73,6 +73,10 @@ class VARGPConfig:
     map_est_hypers: bool = False
     dkl: bool = False
     jitter: float = gpmath.DEFAULT_JITTER
+    # TPU fast path: invert the Gram Cholesky once (blocked, MXU matmuls)
+    # instead of repeated substitution-bound triangular solves.  ~10x on the
+    # measured v5e ELBO step; exact same math up to f32 rounding.
+    solve_via_inverse: bool = True
 
 
 class ForwardResult(NamedTuple):
@@ -120,15 +124,23 @@ def forward(
     z_all, u_means, u_trils, u_tril_t = _concat_chain(params, prev, cfg)
 
     Kzz = gram_(theta, z_all)  # (H, O, SM, SM)
-    L = gpmath.cholesky(Kzz, cfg.jitter)
+    if cfg.solve_via_inverse:
+        from vargp_tpu.ops.dispatch import chol_and_inv
 
-    post = gpmath.ar_joint_posterior(L, u_means, u_trils)
+        L, L_inv = chol_and_inv(gpmath.add_jitter(Kzz, cfg.jitter))
+    else:
+        L = gpmath.cholesky(Kzz, cfg.jitter)
+        L_inv = None
+
+    post = gpmath.ar_joint_posterior(L, u_means, u_trils, L_inv=L_inv)
 
     xb = jnp.broadcast_to(x[None], (cfg.out_size, *x.shape))
     Kzx = gram_(theta, z_all, xb)  # (H, O, SM, B)
     kxx_diag = gram_diag(theta)  # (H, 1, 1)
 
-    f_mean, f_var = gpmath.whitened_marginal_diag(L, post.mean, post.LS, Kzx, kxx_diag)
+    f_mean, f_var = gpmath.whitened_marginal_diag(
+        L, post.mean, post.LS, Kzx, kxx_diag, L_inv=L_inv
+    )
 
     if not with_kl:
         zero = jnp.zeros((), f_mean.dtype)
@@ -149,19 +161,37 @@ def forward(
         u_lt = gpmath.mvn_sample(k_u, mu_lt, LS_lt, sample_shape=(cfg.n_var_samples,))
 
         # conditional prior mean K_{t,<t} K_{<t}^{-1} u_{<t} = L21 L11^{-1} u
-        w = gpmath.tri_solve(L11, u_lt[..., None])
+        if L_inv is not None:
+            w = jnp.einsum(
+                "...ij,...jk->...ik",
+                L_inv[..., :c, :c],
+                u_lt[..., None],
+                precision=_HIGHEST,
+            )
+        else:
+            w = gpmath.tri_solve(L11, u_lt[..., None])
         prior_mu_t = jnp.einsum("...ij,...jk->...ik", L21, w, precision=_HIGHEST)[..., 0]
 
         # EP-style variational mean (vargp.py:151)
         mask = 1.0 if cfg.ep_var_mean else 0.0
         var_mu_t = prior_mu_t * mask + params.u_mean[..., 0]
 
-        kl = gpmath.mvn_kl(var_mu_t, u_tril_t, prior_mu_t, L22)  # (n_v, H, O)
+        L22_inv = None
+        if L_inv is not None:
+            # trailing diagonal block of L^{-1} is inv(L22)
+            L22_inv = L_inv[..., c:, c:]
+        kl = gpmath.mvn_kl(
+            var_mu_t, u_tril_t, prior_mu_t, L22, Lp_inv=L22_inv
+        )  # (n_v, H, O)
         kl_u = jnp.mean(jnp.sum(kl, axis=-1))
     else:
         # task 0: q(u_0) vs N(0, Kzz) (vargp.py:156-173)
         kl = gpmath.mvn_kl(
-            params.u_mean[..., 0], u_tril_t, jnp.zeros_like(params.u_mean[..., 0]), L
+            params.u_mean[..., 0],
+            u_tril_t,
+            jnp.zeros_like(params.u_mean[..., 0]),
+            L,
+            Lp_inv=L_inv,
         )  # (H, O)
         kl_u = jnp.mean(jnp.sum(kl, axis=-1))
 

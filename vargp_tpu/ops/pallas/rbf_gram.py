@@ -1,0 +1,140 @@
+"""Pallas TPU kernel: fused RBF Gram matrix.
+
+Computes K[g, i, j] = gamma2[g] * exp(-0.5 * ||sx[g,i] - sy[g,j]||^2) in one
+pass: the cross-term matmul runs on the MXU, row norms and the exp fuse on
+the VPU, and the (M, N) Gram block never round-trips to HBM between the
+distance computation and the exponential (the XLA fallback relies on fusion
+heuristics; this makes it explicit and tiles for the 128x128 MXU).
+
+Replaces the reference's einsum+exp chain (var_gp/kernels.py:44-56).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_M = 128
+TILE_N = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _gram_kernel(sx_ref, sy_ref, g2_ref, out_ref):
+    """One (TILE_M, TILE_N) block of one batch element's Gram matrix."""
+    sx = sx_ref[0]  # (TILE_M, D)
+    sy = sy_ref[0]  # (TILE_N, D)
+    xx = jnp.sum(jnp.square(sx), axis=-1)[:, None]  # (TILE_M, 1)
+    yy = jnp.sum(jnp.square(sy), axis=-1)[None, :]  # (1, TILE_N)
+    xy = jax.lax.dot_general(
+        sx,
+        sy,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    d2 = jnp.maximum(xx - 2.0 * xy + yy, 0.0)
+    out_ref[0] = g2_ref[pl.program_id(0), 0] * jnp.exp(-0.5 * d2)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def _gram_3d(sx: jax.Array, sy: jax.Array, gamma2: jax.Array) -> jax.Array:
+    """sx: (G, M, D), sy: (G, N, D), gamma2: (G,) -> (G, M, N)."""
+    G, M, D = sx.shape
+    N = sy.shape[1]
+    Mp, Np = _round_up(M, TILE_M), _round_up(N, TILE_N)
+    Dp = _round_up(D, 128)  # lane-aligned contraction dim
+    # zero padding is exact: zero features change neither norms nor dots;
+    # padded rows/cols produce garbage only where we slice off
+    sx_p = jnp.pad(sx, ((0, 0), (0, Mp - M), (0, Dp - D)))
+    sy_p = jnp.pad(sy, ((0, 0), (0, Np - N), (0, Dp - D)))
+    D = Dp
+
+    grid = (G, Mp // TILE_M, Np // TILE_N)
+    out = pl.pallas_call(
+        _gram_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, TILE_M, D), lambda g, i, j: (g, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, TILE_N, D), lambda g, i, j: (g, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (G, 1) scalar table
+        ],
+        out_specs=pl.BlockSpec(
+            (1, TILE_M, TILE_N), lambda g, i, j: (g, i, j), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, Mp, Np), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * G * Mp * Np * D,
+            bytes_accessed=4 * G * (Mp * D + Np * D + Mp * Np),
+            transcendentals=G * Mp * Np,
+        ),
+    )(sx_p, sy_p, gamma2.reshape(G, 1))
+    return out[:, :M, :N]
+
+
+@jax.custom_vjp
+def rbf_gram_pallas(sx: jax.Array, sy: jax.Array, gamma2: jax.Array) -> jax.Array:
+    """Dispatch-compatible entry: arbitrary leading batch dims.
+
+    sx: ... x M x D;  sy: ... x N x D;  gamma2 broadcastable to ... x M x N
+    (in practice a per-(hyper) scalar broadcast over classes/rows/cols).
+
+    Custom VJP: the Pallas forward is opaque to AD; the backward is pure
+    matmul/reduction math that XLA fuses well on its own:
+      dK/dsx_i . g = (W sy)_i - rowsum(W)_i sx_i  with W = g * K
+      dK/dgamma2   = sum(g * K) / gamma2
+    """
+    batch = jnp.broadcast_shapes(sx.shape[:-2], sy.shape[:-2], gamma2.shape[:-2])
+    M, D = sx.shape[-2:]
+    N = sy.shape[-2]
+
+    sx_b = jnp.broadcast_to(sx, (*batch, M, D)).reshape(-1, M, D)
+    sy_b = jnp.broadcast_to(sy, (*batch, N, D)).reshape(-1, N, D)
+    # gamma2 is constant within a Gram block in all call sites
+    g2_b = jnp.broadcast_to(gamma2[..., :1, :1], (*batch, 1, 1)).reshape(-1)
+
+    out = _gram_3d(sx_b, sy_b, g2_b.astype(jnp.float32))
+    return out.reshape(*batch, M, N)
+
+
+def _rbf_gram_fwd(sx, sy, gamma2):
+    K = rbf_gram_pallas(sx, sy, gamma2)
+    return K, (sx, sy, gamma2, K)
+
+
+def _sum_to_shape(x, shape):
+    """Reverse broadcasting: sum x down to ``shape``."""
+    extra = x.ndim - len(shape)
+    if extra:
+        x = jnp.sum(x, axis=tuple(range(extra)))
+    axes = tuple(i for i, s in enumerate(shape) if s == 1 and x.shape[i] != 1)
+    if axes:
+        x = jnp.sum(x, axis=axes, keepdims=True)
+    return x
+
+
+def _rbf_gram_bwd(res, g):
+    sx, sy, gamma2, K = res
+    W = g * K  # ... x M x N
+    row = jnp.sum(W, axis=-1)  # ... x M
+    col = jnp.sum(W, axis=-2)  # ... x N
+    P = jax.lax.Precision.HIGHEST
+    dsx = jnp.einsum("...mn,...nd->...md", W, sy, precision=P) - row[..., None] * sx
+    dsy = jnp.einsum("...mn,...md->...nd", W, sx, precision=P) - col[..., None] * sy
+    # dK/dgamma2 = K / gamma2 elementwise
+    dg2 = jnp.sum(g * (K / jnp.maximum(gamma2, 1e-30)), axis=(-2, -1), keepdims=True)
+    return (
+        _sum_to_shape(dsx, sx.shape),
+        _sum_to_shape(dsy, sy.shape),
+        _sum_to_shape(dg2, gamma2.shape),
+    )
+
+
+rbf_gram_pallas.defvjp(_rbf_gram_fwd, _rbf_gram_bwd)

@@ -1,0 +1,76 @@
+"""Mesh construction and sharding rules.
+
+Sharding policy (see package docstring):
+  - class-batched GP state (z, u_mean, u_tril*, per-task chain entries and
+    their optimizer moments): first axis (out_size) over "model"
+  - kernel hyperparameters / MLP feature map: replicated
+  - data batches: leading (batch) axis over "data"
+"""
+
+import math
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    model_parallel: int | None = None,
+    devices=None,
+) -> Mesh:
+    """2-D ("data", "model") mesh over the first n_devices devices.
+
+    model_parallel defaults to 2 when the device count is even (exercises
+    both axes), else 1.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if model_parallel is None:
+        model_parallel = 2 if n % 2 == 0 and n > 1 else 1
+    if n % model_parallel:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    grid = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+def _is_class_batched(path_str: str, leaf, out_size: int) -> bool:
+    if "kernel" in path_str or "phi" in path_str:
+        return False
+    return getattr(leaf, "ndim", 0) >= 1 and leaf.shape[0] == out_size
+
+
+def infer_param_shardings(tree, mesh: Mesh, out_size: int):
+    """Shardings for any params-shaped pytree (incl. optimizer states whose
+    moment pytrees mirror the param structure)."""
+
+    def spec(path, leaf):
+        path_str = jax.tree_util.keystr(path)
+        if _is_class_batched(path_str, leaf, out_size):
+            return NamedSharding(mesh, P("model", *([None] * (leaf.ndim - 1))))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, tree)
+
+
+def batch_shardings(mesh: Mesh):
+    """(x, y, w) shardings: batch axis over "data"."""
+    return (
+        NamedSharding(mesh, P("data", None)),
+        NamedSharding(mesh, P("data")),
+        NamedSharding(mesh, P("data")),
+    )
+
+
+def shard_params(tree, mesh: Mesh, out_size: int):
+    return jax.device_put(tree, infer_param_shardings(tree, mesh, out_size))
+
+
+def shard_batch(x, y, w, mesh: Mesh):
+    sx, sy, sw = batch_shardings(mesh)
+    return (
+        jax.device_put(x, sx),
+        jax.device_put(y, sy),
+        jax.device_put(w, sw),
+    )
