@@ -1,5 +1,11 @@
-"""Model families (pure-function ELBOs over parameter pytrees)."""
+"""Model families (pure-function ELBOs over parameter pytrees).
 
-from vargp_tpu.models import vargp
+- vargp:         the paper's method (auto-regressive continual GP)
+- global_svgp:   "VAR-GP (Global)" streaming-SVGP baseline (re-designed
+                 working version of the reference's import-broken module)
+- vargp_retrain: retraining ablation (past variational params trainable)
+"""
 
-__all__ = ["vargp"]
+from vargp_tpu.models import vargp, global_svgp, vargp_retrain
+
+__all__ = ["vargp", "global_svgp", "vargp_retrain"]
