@@ -1,0 +1,144 @@
+"""Post-hoc analysis — the reference notebooks' evaluation protocol as code.
+
+Parity: notebooks/mnist.ipynb (T x T accuracy & normalized-entropy
+matrices, BWT, cells 12/13/21/22) and notebooks/toy.ipynb (predictive-
+density grid over [-3, 3]^2, cells 3-6).  Checkpoint chains are rebuilt
+exactly the way the notebooks do: task t's model = [ckpt0..ckpt_{t-1}] +
+ckpt_t (mnist.ipynb cell 12).
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vargp_tpu import data
+from vargp_tpu.models import vargp as V
+from vargp_tpu.train.metrics import compute_acc_ent, compute_bwt
+from vargp_tpu.utils.checkpoint import load_pytree
+
+
+def load_task_chain(log_dir: str, n_tasks: int, example_params):
+    """Load [ckpt0..ckpt_{n-1}] saved by the experiment drivers."""
+    return [
+        load_pytree(os.path.join(log_dir, f"ckpt{t}.npz"), example_params)
+        for t in range(n_tasks)
+    ]
+
+
+def accuracy_entropy_matrices(
+    chain,
+    cfg: V.VARGPConfig,
+    test_sets,
+    key=None,
+    n_f: int = 50,
+    n_var_samples: int = 20,
+    batch_size: int = 512,
+):
+    """T x T accuracy and normalized-entropy matrices.
+
+    Row t = model after task t (chain prefix), column s = test split of
+    task s.  Entropy normalized by ln(out_size) (mnist.ipynb cell 21).
+    Eval MC budget follows the notebooks (n_f=50, n_var_samples=20).
+    """
+    key = key if key is not None else jax.random.key(0)
+    T = len(chain)
+    acc = np.zeros((T, T))
+    ent = np.zeros((T, T))
+
+    from dataclasses import replace
+
+    cfg_eval = replace(cfg, n_f=n_f, n_var_samples=n_var_samples)
+
+    @jax.jit
+    def _predict(params, prev, x, k):
+        return V.predict(params, prev, x, k, cfg_eval)
+
+    for t in range(T):
+        prev = tuple(V.freeze_task(p) for p in chain[:t])
+        params = chain[t]
+        for s, test_set in enumerate(test_sets):
+            key, k = jax.random.split(key)
+            a, e = compute_acc_ent(
+                test_set,
+                lambda x: _predict(params, prev, jnp.asarray(x), k),
+                batch_size=batch_size,
+            )
+            acc[t, s] = a
+            ent[t, s] = e / np.log(cfg.out_size)
+    return acc, ent
+
+
+def toy_density_grid(
+    chain,
+    cfg: V.VARGPConfig,
+    lo: float = -3.0,
+    hi: float = 3.0,
+    n: int = 60,
+    key=None,
+    n_f: int = 100,
+    n_var_samples: int = 20,
+):
+    """Per-class predictive probability surfaces over a 2-D grid after each
+    task (toy.ipynb cells 3-6).  Returns (grid_x, grid_y, probs[T, n, n, C])."""
+    key = key if key is not None else jax.random.key(0)
+    xs = np.linspace(lo, hi, n, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, xs)
+    pts = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], axis=-1))
+
+    from dataclasses import replace
+
+    cfg_eval = replace(cfg, n_f=n_f, n_var_samples=n_var_samples)
+
+    @jax.jit
+    def _predict(params, prev, x, k):
+        return V.predict(params, prev, x, k, cfg_eval)
+
+    out = []
+    for t, params in enumerate(chain):
+        prev = tuple(V.freeze_task(p) for p in chain[:t])
+        key, k = jax.random.split(key)
+        probs = np.asarray(_predict(params, prev, pts, k))
+        out.append(probs.reshape(n, n, -1))
+    return gx, gy, np.stack(out)
+
+
+def summarize(acc: np.ndarray, ent: np.ndarray) -> dict:
+    """Final summary dict: per-task final accs, mean final acc, BWT."""
+    return dict(
+        final_accs=acc[-1].tolist(),
+        final_avg_acc=float(acc[-1].mean()),
+        bwt=compute_bwt(acc),
+        acc_matrix=acc.tolist(),
+        ent_matrix=ent.tolist(),
+    )
+
+
+def analyze_smnist(
+    log_dir: str,
+    data_dir=None,
+    n_tasks: int = 5,
+    M: int = 60,
+    dkl: bool = False,
+    out_json: str | None = None,
+):
+    """End-to-end S-MNIST analysis from a checkpoint directory."""
+    cfg = V.VARGPConfig(M=M, out_size=10, in_size=784, dkl=bool(dkl))
+    key = jax.random.key(0)
+    z = jnp.zeros((cfg.out_size, cfg.M, cfg.in_size))
+    example, _ = V.init_params(key, z, cfg)
+    chain = load_task_chain(log_dir, n_tasks, example)
+
+    test_full = data.load_mnist(data_dir, train=False)
+    test_sets = [
+        data.filter_by_class(test_full, [2 * t, 2 * t + 1]) for t in range(n_tasks)
+    ]
+    acc, ent = accuracy_entropy_matrices(chain, cfg, test_sets)
+    summary = summarize(acc, ent)
+    out_json = out_json or os.path.join(log_dir, "analysis.json")
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: v for k, v in summary.items() if "matrix" not in k}))
+    return summary

@@ -1,0 +1,80 @@
+"""Command-line interface.
+
+Parity: the reference exposes python-fire auto-CLIs over driver function
+kwargs (experiments/vargp.py:193).  Same UX here without the fire
+dependency: ``python -m vargp_tpu <command> --key=value ...`` where values
+are parsed as Python literals.  Commands mirror the reference entry points
+plus the analysis/bench additions.
+"""
+
+import ast
+import inspect
+import sys
+
+
+def _commands():
+    from vargp_tpu.experiments import (
+        analysis,
+        global_run,
+        retrain_run,
+        sweep,
+        vargp_run,
+    )
+
+    return {
+        # reference: python experiments/vargp.py {toy,s_mnist,p_mnist}
+        "toy": vargp_run.toy,
+        "s_mnist": vargp_run.split_mnist,
+        "p_mnist": vargp_run.permuted_mnist,
+        # reference: experiments/{mnist_global,toy_global}.py
+        "toy_global": global_run.toy_global,
+        "s_mnist_global": global_run.split_mnist,
+        "p_mnist_global": global_run.permuted_mnist,
+        # reference: experiments/vargp_retrain.py
+        "toy_retrain": retrain_run.toy,
+        # reference: notebooks (analysis protocol as code)
+        "analyze_smnist": analysis.analyze_smnist,
+        # reference: experiments/wandb_utils.py sweep generator
+        "gen_sweep": sweep.generate_vargp_sweep,
+        "run_sweep": sweep.run_sweep,
+    }
+
+
+def _parse_value(s: str):
+    try:
+        return ast.literal_eval(s)
+    except (ValueError, SyntaxError):
+        return s
+
+
+def _parse_args(argv):
+    args, kwargs = [], {}
+    for a in argv:
+        if a.startswith("--"):
+            k, _, v = a[2:].partition("=")
+            kwargs[k.replace("-", "_")] = _parse_value(v) if v else True
+        else:
+            args.append(_parse_value(a))
+    return args, kwargs
+
+
+def main(argv=None):
+    argv = sys.argv[1:] if argv is None else argv
+    cmds = _commands()
+    if not argv or argv[0] in ("-h", "--help", "help"):
+        print("usage: python -m vargp_tpu <command> [--key=value ...]\n")
+        for name, fn in cmds.items():
+            sig = inspect.signature(fn)
+            print(f"  {name}{sig}")
+        return 0
+    name = argv[0]
+    if name not in cmds:
+        print(f"unknown command {name!r}; run with --help")
+        return 1
+    args, kwargs = _parse_args(argv[1:])
+    cmds[name](*args, **kwargs)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

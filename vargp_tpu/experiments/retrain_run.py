@@ -1,0 +1,102 @@
+"""VARGP-Retrain driver (parity: experiments/vargp_retrain.py — toy only
+in the reference; T>2 is handled here, resolving the reference's TODO at
+vargp_retrain.py:251)."""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from vargp_tpu import data
+from vargp_tpu.data.core import batch_iter
+from vargp_tpu.models import vargp_retrain as R
+from vargp_tpu.models.vargp import select_inducing
+from vargp_tpu.train.loop import TrainHyperparams, make_optimizer
+from vargp_tpu.train.metrics import compute_accuracy
+from vargp_tpu.utils import MetricsLogger, save_chain, seed_everything
+
+
+def toy(
+    epochs=5000, M=20, lr=1e-2, batch_size=512, beta=1.0,
+    n_f=10, n_var_samples=3, seed=None, eval_interval=10, log_dir=None,
+    n_tasks=2,
+):
+    key, seed = seed_everything(seed)
+    log_dir = log_dir or os.path.join(
+        os.environ.get("VARGP_TPU_LOGDIR", "runs"), "toy_retrain"
+    )
+    toy_all = data.make_toy_dataset(seed=seed)
+    cfg = R.RetrainConfig(
+        M=M, out_size=4, in_size=2, n_f=n_f, n_var_samples=n_var_samples
+    )
+    hp = TrainHyperparams(
+        epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
+        eval_interval=eval_interval, patience=-1,
+    )
+
+    prev_raw = ()
+    kernel_prior_from = None
+    summaries = []
+    with MetricsLogger(log_dir) as logger:
+        for t in range(n_tasks):
+            train_set = data.filter_by_class(toy_all, [2 * t, 2 * t + 1])
+            seen = data.filter_by_class(toy_all, range(2 * t + 2))
+
+            key, k_task = jax.random.split(key)
+            z_init = select_inducing(
+                k_task, jnp.asarray(train_set.data), cfg.M, cfg.out_size
+            )
+            params, prior, frozen = R.init_params(
+                k_task, z_init, cfg, prev_chain=prev_raw,
+                kernel_prior_from=kernel_prior_from,
+            )
+
+            tx = make_optimizer(hp)
+            opt_state = tx.init(params)
+            n_train = len(train_set)
+
+            @jax.jit
+            def update(p, o, x, y, w, k):
+                def total(p):
+                    klh, klu, nll = R.loss(p, frozen, prior, x, y, k, cfg, weights=w)
+                    scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
+                    return hp.beta * klh + klu + scale * nll, (klh, klu, nll)
+
+                (lv, aux), g = jax.value_and_grad(total, has_aux=True)(p)
+                up, o = tx.update(g, o, p)
+                return optax.apply_updates(p, up), o, lv, aux
+
+            @jax.jit
+            def predict(p, x, k):
+                return R.predict(p, x, k, cfg)
+
+            rng = np.random.default_rng(seed + t)
+            key_seq = k_task
+            for epoch in range(hp.epochs):
+                for b in batch_iter(train_set, hp.batch_size, rng=rng):
+                    key_seq, k_step = jax.random.split(key_seq)
+                    params, opt_state, _, aux = update(
+                        params, opt_state, jnp.asarray(b.x), jnp.asarray(b.y),
+                        jnp.asarray(b.w), k_step,
+                    )
+                if (epoch + 1) % hp.eval_interval == 0:
+                    key_seq, k_ev = jax.random.split(key_seq)
+                    acc = compute_accuracy(
+                        seen, lambda x: predict(params, jnp.asarray(x), k_ev),
+                        hp.batch_size,
+                    )
+                    logger.add_scalar(f"task{t}/test/acc", acc, step=epoch + 1)
+
+            prev_raw = params.tasks
+            kernel_prior_from = params.kernel
+            save_chain(log_dir, t, params)
+            acc = compute_accuracy(
+                seen, lambda x: predict(params, jnp.asarray(x), key_seq),
+                hp.batch_size,
+            )
+            summaries.append({f"task{t}/test/acc": acc})
+            print(f"[toy_retrain] task {t}: test acc {acc:.4f}")
+    return params, summaries

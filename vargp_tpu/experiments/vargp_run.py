@@ -1,0 +1,146 @@
+"""VARGP experiment drivers (parity: experiments/vargp.py).
+
+Entry points: toy, split_mnist (s_mnist), permuted_mnist (p_mnist) with the
+reference's default hyperparameters and task protocols:
+  - toy: 2 tasks x 2 classes, epochs=5000, M=20, lr=1e-2, beta=1.0
+  - s_mnist: 5 tasks, classes {2t, 2t+1}, val/test on classes seen so far,
+    epochs=500, M=60, lr=3e-3, beta=10.0, patience=20
+  - p_mnist: 10 tasks of pixel permutations (task 0 unpermuted),
+    epochs=1000, M=100, lr=3.7e-3, beta=1.64
+"""
+
+import os
+
+import jax
+import numpy as np
+
+from vargp_tpu import data
+from vargp_tpu.models.vargp import VARGPConfig
+from vargp_tpu.train.loop import TrainHyperparams, train_task
+from vargp_tpu.utils import MetricsLogger, save_chain, seed_everything
+
+
+def _log_dir(name: str) -> str:
+    base = os.environ.get("VARGP_TPU_LOGDIR", "runs")
+    return os.path.join(base, name)
+
+
+def _run_task_stream(
+    name, tasks, cfg, hp, seed, log_dir=None, n_tasks_cap=None
+):
+    """Shared continual loop: per-task train, chain growth, ckpt save."""
+    key, seed = seed_everything(seed)
+    log_dir = log_dir or _log_dir(name)
+    chain = []
+    summaries = []
+    with MetricsLogger(log_dir) as logger:
+        for t, (train_set, val_set, test_set) in enumerate(tasks):
+            if n_tasks_cap is not None and t >= n_tasks_cap:
+                break
+            key, k_task = jax.random.split(key)
+            params, info = train_task(
+                k_task, t, train_set, val_set, test_set, cfg, hp,
+                prev_chain=chain, logger=logger, seed=seed + t,
+            )
+            chain.append(params)
+            save_chain(log_dir, t, params)
+            summaries.append(info.get("acc_summary", {}))
+            print(
+                f"[{name}] task {t}: "
+                + " ".join(f"{k.split('/')[-2]}={v:.4f}" for k, v in info.get("acc_summary", {}).items())
+                + f" ({info.get('steps_per_sec', 0):.1f} steps/s)"
+            )
+    return chain, summaries
+
+
+def toy(
+    epochs=5000, M=20, lr=1e-2, batch_size=512, beta=1.0,
+    n_f=10, n_var_samples=3, ep_var_mean=True, map_est_hypers=False,
+    dkl=False, seed=None, eval_interval=10, log_dir=None, n_tasks=2,
+):
+    """Parity: experiments/vargp.py:76-104 (patience disabled)."""
+    toy_all = data.make_toy_dataset(seed=seed or 0)
+
+    def tasks():
+        for t in range(n_tasks):
+            train_set = data.filter_by_class(toy_all, [2 * t, 2 * t + 1])
+            seen = data.filter_by_class(toy_all, range(2 * t + 2))
+            yield train_set, seen, seen
+
+    cfg = VARGPConfig(
+        M=M, out_size=4, in_size=2, n_f=n_f, n_var_samples=n_var_samples,
+        ep_var_mean=bool(ep_var_mean), map_est_hypers=bool(map_est_hypers),
+        dkl=bool(dkl),
+    )
+    hp = TrainHyperparams(
+        epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
+        eval_interval=eval_interval, patience=-1,
+    )
+    return _run_task_stream("toy", tasks(), cfg, hp, seed, log_dir)
+
+
+def split_mnist(
+    data_dir=None, epochs=500, M=60, lr=3e-3, batch_size=512, beta=10.0,
+    n_f=10, n_var_samples=3, ep_var_mean=True, map_est_hypers=False,
+    dkl=False, seed=None, eval_interval=10, patience=20, log_dir=None,
+    n_tasks=5,
+):
+    """Parity: experiments/vargp.py:107-140."""
+    rng = np.random.default_rng(seed or 0)
+    mnist_train_full = data.load_mnist(data_dir, train=True)
+    mnist_test = data.load_mnist(data_dir, train=False)
+    train_all, val_all = data.split_train_val(mnist_train_full, 10000, rng)
+
+    def tasks():
+        for t in range(n_tasks):
+            train_set = data.filter_by_class(train_all, [2 * t, 2 * t + 1])
+            val_set = data.filter_by_class(val_all, range(2 * t + 2))
+            test_set = data.filter_by_class(mnist_test, range(2 * t + 2))
+            yield train_set, val_set, test_set
+
+    cfg = VARGPConfig(
+        M=M, out_size=10, in_size=784, n_f=n_f, n_var_samples=n_var_samples,
+        ep_var_mean=bool(ep_var_mean), map_est_hypers=bool(map_est_hypers),
+        dkl=bool(dkl),
+    )
+    hp = TrainHyperparams(
+        epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
+        eval_interval=eval_interval, patience=patience,
+    )
+    return _run_task_stream("s_mnist", tasks(), cfg, hp, seed, log_dir)
+
+
+def permuted_mnist(
+    data_dir=None, n_tasks=10, epochs=1000, M=100, lr=3.7e-3,
+    batch_size=512, beta=1.64, n_f=10, n_var_samples=3, ep_var_mean=True,
+    map_est_hypers=False, dkl=False, seed=None, eval_interval=10,
+    patience=20, log_dir=None,
+):
+    """Parity: experiments/vargp.py:143-186 — task 0 unpermuted; val/test
+    accumulate all task variants seen so far (ConcatDataset protocol)."""
+    rng = np.random.default_rng(seed or 0)
+    mnist_train_full = data.load_mnist(data_dir, train=True)
+    mnist_test_full = data.load_mnist(data_dir, train=False)
+    train_all, val_all = data.split_train_val(mnist_train_full, 10000, rng)
+    perms = data.make_permutations(n_tasks, 784, rng)
+
+    from vargp_tpu.data.tasks import concat
+
+    def tasks():
+        val_seen, test_seen = [], []
+        for t in range(n_tasks):
+            train_set = data.apply_permutation(train_all, perms[t])
+            val_seen.append(data.apply_permutation(val_all, perms[t]))
+            test_seen.append(data.apply_permutation(mnist_test_full, perms[t]))
+            yield train_set, concat(val_seen), concat(test_seen)
+
+    cfg = VARGPConfig(
+        M=M, out_size=10, in_size=784, n_f=n_f, n_var_samples=n_var_samples,
+        ep_var_mean=bool(ep_var_mean), map_est_hypers=bool(map_est_hypers),
+        dkl=bool(dkl),
+    )
+    hp = TrainHyperparams(
+        epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
+        eval_interval=eval_interval, patience=patience,
+    )
+    return _run_task_stream("p_mnist", tasks(), cfg, hp, seed, log_dir)
