@@ -1,0 +1,91 @@
+"""Driver benchmark: full VAR-GP ELBO training steps/sec on TPU.
+
+Workload: the reference's Split-MNIST final task (the heaviest step of the
+flagship experiment) — 5-task AR chain, M=60 inducing points/class,
+out=10 classes, D=784, batch 512, n_f=10 function samples, n_var_samples=3
+hyper samples.  One step = fused forward (one Cholesky + inverse, AR chain,
+whitened marginal, KLs, MC softmax NLL) + backward + Yogi update.
+
+Baseline: the reference PyTorch implementation on CPU, same workload and
+step definition (see bench_baseline.py; measured 0.166 steps/s on this
+image's single-core host — mint a fresh number with
+`python bench_baseline.py` to produce baseline_ref.json, which takes
+precedence over the checked-in constant).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import time
+
+# Checked-in fallback: reference torch CPU steps/sec measured on this image
+# (1-core host, torch 2.13; see baseline_ref.json provenance).
+FALLBACK_BASELINE_STEPS_PER_SEC = 0.166
+
+N_STEPS = 100
+
+
+def _baseline() -> float:
+    path = os.path.join(os.path.dirname(__file__) or ".", "baseline_ref.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            return float(json.load(f)["steps_per_sec"])
+    return FALLBACK_BASELINE_STEPS_PER_SEC
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from vargp_tpu.train.loop import (
+        TrainHyperparams,
+        make_optimizer,
+        make_scan_update_fn,
+    )
+
+    cfg, params, prev, prior, x, y, w, key = g._flagship()
+    hp = TrainHyperparams(lr=3e-3, beta=10.0)
+    tx = make_optimizer(hp)
+    opt_state = tx.init(params)
+    # production path: one scanned device program over the epoch's batches
+    update_epoch = make_scan_update_fn(cfg, tx, hp.beta, n_train=50000)
+
+    xs = jnp.broadcast_to(x, (N_STEPS, *x.shape))
+    ys = jnp.broadcast_to(y, (N_STEPS, *y.shape))
+    ws = jnp.broadcast_to(w, (N_STEPS, *w.shape))
+
+    key2 = jax.random.fold_in(key, 1)  # pre-built: keep host compiles out of
+    key2.block_until_ready()  # the timed section
+
+    # compile + warmup
+    params, opt_state, loss_val, _ = update_epoch(
+        params, opt_state, prev, prior, xs, ys, ws, key
+    )
+    float(loss_val)  # hard sync
+
+    t0 = time.time()
+    params, opt_state, loss_val, _ = update_epoch(
+        params, opt_state, prev, prior, xs, ys, ws, key2
+    )
+    final = float(loss_val)  # device_get forces the whole chain to finish
+    dt = (time.time() - t0) / N_STEPS
+
+    assert final == final, "non-finite loss in benchmark"
+    steps_per_sec = 1.0 / dt
+    baseline = _baseline()
+    print(
+        json.dumps(
+            dict(
+                metric="smnist_task4_elbo_steps_per_sec",
+                value=round(steps_per_sec, 2),
+                unit="steps/s",
+                vs_baseline=round(steps_per_sec / baseline, 1),
+            )
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

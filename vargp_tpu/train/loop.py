@@ -37,6 +37,9 @@ class TrainHyperparams:
     optimizer: str = "yogi"  # matches torch_optimizer.Yogi (vargp.py:23)
     eval_n_f: int | None = None
     eval_n_var_samples: int | None = None
+    # one scanned device program per epoch (vs one dispatch per minibatch);
+    # identical math, large win when host->device dispatch is expensive
+    scan_epoch: bool = True
 
 
 def make_optimizer(hp: TrainHyperparams) -> optax.GradientTransformation:
@@ -64,6 +67,59 @@ def make_update_fn(cfg: V.VARGPConfig, tx, beta: float, n_train: int):
         return params, opt_state, loss_val, aux
 
     return update
+
+
+def make_scan_update_fn(cfg: V.VARGPConfig, tx, beta: float, n_train: int):
+    """Epoch-granular update: lax.scan over a stacked batch axis.
+
+    One device program per epoch instead of one per minibatch — on a
+    tunneled/remote TPU the per-dispatch host overhead (~10 ms) would
+    otherwise dominate the ~7 ms device step.  Math identical to
+    make_update_fn applied sequentially.
+    """
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def update_epoch(params, opt_state, prev, prior, xs, ys, ws, key):
+        # xs: (K, B, D); ys: (K, B); ws: (K, B)
+        def step(carry, batch):
+            params, opt_state, i = carry
+            x, y, w = batch
+            k = jax.random.fold_in(key, i)
+
+            def total_loss(p):
+                klh, klu, nll = V.loss(p, prev, prior, x, y, k, cfg, weights=w)
+                scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
+                return beta * klh + klu + scale * nll, (klh, klu, nll)
+
+            (loss_val, aux), grads = jax.value_and_grad(total_loss, has_aux=True)(
+                params
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state, i + 1), (loss_val, aux)
+
+        (params, opt_state, _), (losses, auxs) = jax.lax.scan(
+            step, (params, opt_state, 0), (xs, ys, ws)
+        )
+        return params, opt_state, losses[-1], jax.tree_util.tree_map(
+            lambda a: a[-1], auxs
+        )
+
+    return update_epoch
+
+
+def stack_epoch(ds: ArrayDataset, batch_size: int, rng) -> tuple:
+    """Materialize one shuffled epoch as stacked fixed-shape arrays."""
+    xs, ys, ws = [], [], []
+    for b in batch_iter(ds, batch_size, rng=rng):
+        xs.append(b.x)
+        ys.append(b.y)
+        ws.append(b.w)
+    return (
+        jnp.asarray(np.stack(xs)),
+        jnp.asarray(np.stack(ys)),
+        jnp.asarray(np.stack(ws)),
+    )
 
 
 def make_predict_fn(cfg: V.VARGPConfig, hp: TrainHyperparams | None = None):
@@ -110,7 +166,10 @@ def train_task(
 
     tx = make_optimizer(hp)
     opt_state = tx.init(params)
-    update = make_update_fn(cfg, tx, hp.beta, len(train_set))
+    if hp.scan_epoch:
+        update_epoch = make_scan_update_fn(cfg, tx, hp.beta, len(train_set))
+    else:
+        update = make_update_fn(cfg, tx, hp.beta, len(train_set))
     predict = make_predict_fn(cfg, hp)
 
     stopper = EarlyStopper(patience=hp.patience)
@@ -121,13 +180,21 @@ def train_task(
     t_start = time.time()
     steps = 0
     for epoch in range(hp.epochs):
-        for b in batch_iter(train_set, hp.batch_size, rng=data_rng):
-            key_seq, k_step = jax.random.split(key_seq)
-            params, opt_state, loss_val, aux = update(
-                params, opt_state, prev, prior,
-                jnp.asarray(b.x), jnp.asarray(b.y), jnp.asarray(b.w), k_step,
+        if hp.scan_epoch:
+            xs, ys, ws = stack_epoch(train_set, hp.batch_size, data_rng)
+            key_seq, k_ep = jax.random.split(key_seq)
+            params, opt_state, loss_val, aux = update_epoch(
+                params, opt_state, prev, prior, xs, ys, ws, k_ep
             )
-            steps += 1
+            steps += xs.shape[0]
+        else:
+            for b in batch_iter(train_set, hp.batch_size, rng=data_rng):
+                key_seq, k_step = jax.random.split(key_seq)
+                params, opt_state, loss_val, aux = update(
+                    params, opt_state, prev, prior,
+                    jnp.asarray(b.x), jnp.asarray(b.y), jnp.asarray(b.w), k_step,
+                )
+                steps += 1
 
         if (epoch + 1) % hp.eval_interval == 0:
             key_seq, k_ev = jax.random.split(key_seq)
