@@ -96,6 +96,20 @@ def load_mnist(data_dir: str | None = None, train: bool = True) -> ArrayDataset:
     if found is None:
         return _synthetic_mnist(train)
     img_path, lbl_path = found
+    if img_path.suffix != ".gz":
+        # native C++ fast path (parse + scale in one pass)
+        try:
+            from vargp_tpu.data.loader import (
+                native_parse_idx_images,
+                native_parse_idx_labels,
+            )
+
+            imgs = native_parse_idx_images(str(img_path))
+            labels = native_parse_idx_labels(str(lbl_path))
+            if imgs is not None and labels is not None:
+                return ArrayDataset(imgs, labels)
+        except Exception:
+            pass
     imgs = _read_idx(img_path).astype(np.float32) / 255.0
     labels = _read_idx(lbl_path).astype(np.int32)
     return ArrayDataset(imgs.reshape(imgs.shape[0], -1), labels)
