@@ -1,0 +1,88 @@
+"""Checkpoint chain round-trip + analysis protocol + plots."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from vargp_tpu import data
+from vargp_tpu.experiments import analysis, plots
+from vargp_tpu.models import vargp as V
+from vargp_tpu.train.loop import TrainHyperparams, train_task
+from vargp_tpu.utils.checkpoint import load_pytree, save_chain
+
+
+def _train_tiny_chain(tmp_path, dkl=False):
+    toy = data.make_toy_dataset(seed=0)
+    cfg = V.VARGPConfig(
+        M=6, out_size=4, in_size=2, n_f=4, n_var_samples=2, dkl=dkl
+    )
+    hp = TrainHyperparams(
+        epochs=20, lr=2e-2, batch_size=128, eval_interval=20, patience=-1
+    )
+    key = jax.random.key(0)
+    chain = []
+    for t in range(2):
+        train_set = data.filter_by_class(toy, [2 * t, 2 * t + 1])
+        seen = data.filter_by_class(toy, range(2 * t + 2))
+        key, k = jax.random.split(key)
+        params, _ = train_task(
+            k, t, train_set, seen, seen, cfg, hp, prev_chain=chain, seed=t
+        )
+        chain.append(params)
+        save_chain(str(tmp_path), t, params)
+    return chain, cfg, toy
+
+
+def test_checkpoint_chain_roundtrip(tmp_path):
+    chain, cfg, _ = _train_tiny_chain(tmp_path)
+    loaded = analysis.load_task_chain(str(tmp_path), 2, chain[0])
+    for orig, got in zip(chain, loaded):
+        for a, b in zip(
+            jax.tree_util.tree_leaves(orig), jax.tree_util.tree_leaves(got)
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_accuracy_entropy_matrices_and_plots(tmp_path):
+    chain, cfg, toy = _train_tiny_chain(tmp_path)
+    test_sets = [data.filter_by_class(toy, [2 * t, 2 * t + 1]) for t in range(2)]
+    acc, ent = analysis.accuracy_entropy_matrices(
+        chain, cfg, test_sets, n_f=8, n_var_samples=4, batch_size=128
+    )
+    assert acc.shape == (2, 2) and ent.shape == (2, 2)
+    assert (acc >= 0).all() and (acc <= 1).all()
+    assert (ent >= 0).all() and (ent <= 1.01).all()
+    summary = analysis.summarize(acc, ent)
+    assert "bwt" in summary and "final_avg_acc" in summary
+
+    out = plots.plot_matrices(acc, ent, out_path=str(tmp_path / "m.png"))
+    assert os.path.exists(out)
+
+
+def test_toy_density_grid_and_plot(tmp_path):
+    chain, cfg, toy = _train_tiny_chain(tmp_path)
+    gx, gy, probs = analysis.toy_density_grid(
+        chain, cfg, n=12, n_f=4, n_var_samples=2
+    )
+    assert probs.shape == (2, 12, 12, 4)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, rtol=1e-3)
+    out = plots.plot_toy_densities(
+        gx, gy, probs, dataset=toy, out_path=str(tmp_path / "d.png")
+    )
+    assert os.path.exists(out)
+
+
+def test_dkl_training_runs(tmp_path):
+    """Deep-kernel path end to end (warm-started phi across tasks)."""
+    chain, cfg, toy = _train_tiny_chain(tmp_path, dkl=True)
+    assert chain[0].phi is not None and chain[1].phi is not None
+    seen = data.filter_by_class(toy, range(4))
+    from vargp_tpu.train.loop import make_predict_fn
+    from vargp_tpu.models.vargp import freeze_task
+
+    predict = make_predict_fn(cfg)
+    prev = tuple(freeze_task(p) for p in chain[:-1])
+    probs = predict(chain[-1], prev, jnp.asarray(seen.data[:32]), jax.random.key(0))
+    assert np.isfinite(np.asarray(probs)).all()
