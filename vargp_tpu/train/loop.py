@@ -122,6 +122,81 @@ def stack_epoch(ds: ArrayDataset, batch_size: int, rng) -> tuple:
     )
 
 
+def make_device_train_fn(
+    cfg: V.VARGPConfig,
+    tx,
+    beta: float,
+    n_train: int,
+    batch_size: int,
+    n_epochs: int,
+):
+    """Fully on-device training block: the task dataset lives in HBM once;
+    shuffling (jax.random.permutation), batching (dynamic row gather) and
+    ``n_epochs`` of updates all run inside ONE compiled program.
+
+    This is the production path between evaluations: zero per-epoch host
+    transfers and one dispatch per eval interval.  The dataset must be
+    padded to a multiple of batch_size with zero-weight rows.
+    """
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, prev, prior, data_x, data_y, data_w, key):
+        n_pad = data_x.shape[0]
+        steps_per_epoch = n_pad // batch_size
+
+        def epoch_body(carry, e):
+            params, opt_state = carry
+            k_ep = jax.random.fold_in(key, e)
+            perm = jax.random.permutation(jax.random.fold_in(k_ep, 0), n_pad)
+
+            def step(carry2, s):
+                params, opt_state = carry2
+                idx = jax.lax.dynamic_slice(
+                    perm, (s * batch_size,), (batch_size,)
+                )
+                x, y, w = data_x[idx], data_y[idx], data_w[idx]
+                k = jax.random.fold_in(k_ep, s + 1)
+
+                def total_loss(p):
+                    klh, klu, nll = V.loss(p, prev, prior, x, y, k, cfg, weights=w)
+                    scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
+                    return beta * klh + klu + scale * nll, (klh, klu, nll)
+
+                (loss_val, aux), grads = jax.value_and_grad(
+                    total_loss, has_aux=True
+                )(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), (loss_val, aux)
+
+            (params, opt_state), (losses, auxs) = jax.lax.scan(
+                step, (params, opt_state), jnp.arange(steps_per_epoch)
+            )
+            return (params, opt_state), (losses[-1], jax.tree_util.tree_map(
+                lambda a: a[-1], auxs
+            ))
+
+        (params, opt_state), (losses, auxs) = jax.lax.scan(
+            epoch_body, (params, opt_state), jnp.arange(n_epochs)
+        )
+        return params, opt_state, losses[-1], jax.tree_util.tree_map(
+            lambda a: a[-1], auxs
+        )
+
+    return run
+
+
+def pad_dataset_to_device(ds: ArrayDataset, batch_size: int):
+    """Pad to a batch multiple with zero-weight rows and move to device."""
+    n = len(ds)
+    n_pad = ((n + batch_size - 1) // batch_size) * batch_size
+    x = np.zeros((n_pad, ds.data.shape[1]), dtype=np.float32)
+    y = np.zeros((n_pad,), dtype=np.int32)
+    w = np.zeros((n_pad,), dtype=np.float32)
+    x[:n], y[:n], w[:n] = ds.data, ds.targets, 1.0
+    return jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)
+
+
 def make_predict_fn(cfg: V.VARGPConfig, hp: TrainHyperparams | None = None):
     n_f = hp.eval_n_f if hp else None
     n_v = hp.eval_n_var_samples if hp else None
@@ -167,7 +242,19 @@ def train_task(
     tx = make_optimizer(hp)
     opt_state = tx.init(params)
     if hp.scan_epoch:
-        update_epoch = make_scan_update_fn(cfg, tx, hp.beta, len(train_set))
+        # dataset lives on device; shuffle/batch/update all inside one
+        # compiled block of eval_interval epochs
+        data_x, data_y, data_w = pad_dataset_to_device(train_set, hp.batch_size)
+        steps_per_epoch = data_x.shape[0] // hp.batch_size
+        _block_fns: dict[int, callable] = {}
+
+        def run_block(n_epochs, *args):
+            if n_epochs not in _block_fns:
+                _block_fns[n_epochs] = make_device_train_fn(
+                    cfg, tx, hp.beta, len(train_set), hp.batch_size, n_epochs
+                )
+            return _block_fns[n_epochs](*args)
+
     else:
         update = make_update_fn(cfg, tx, hp.beta, len(train_set))
     predict = make_predict_fn(cfg, hp)
@@ -179,15 +266,19 @@ def train_task(
     aux = (jnp.zeros(()),) * 3
     t_start = time.time()
     steps = 0
-    for epoch in range(hp.epochs):
+    epoch = -1
+    while epoch + 1 < hp.epochs:
         if hp.scan_epoch:
-            xs, ys, ws = stack_epoch(train_set, hp.batch_size, data_rng)
-            key_seq, k_ep = jax.random.split(key_seq)
-            params, opt_state, loss_val, aux = update_epoch(
-                params, opt_state, prev, prior, xs, ys, ws, k_ep
+            block = min(hp.eval_interval, hp.epochs - (epoch + 1))
+            key_seq, k_blk = jax.random.split(key_seq)
+            params, opt_state, loss_val, aux = run_block(
+                block, params, opt_state, prev, prior,
+                data_x, data_y, data_w, k_blk,
             )
-            steps += xs.shape[0]
+            steps += block * steps_per_epoch
+            epoch += block
         else:
+            epoch += 1
             for b in batch_iter(train_set, hp.batch_size, rng=data_rng):
                 key_seq, k_step = jax.random.split(key_seq)
                 params, opt_state, loss_val, aux = update(
@@ -196,7 +287,7 @@ def train_task(
                 )
                 steps += 1
 
-        if (epoch + 1) % hp.eval_interval == 0:
+        if (epoch + 1) % hp.eval_interval == 0 or epoch + 1 >= hp.epochs:
             key_seq, k_ev = jax.random.split(key_seq)
 
             def pf(x, _k=k_ev):
