@@ -73,6 +73,7 @@ def _chol_kernel(a_ref, out_ref, work):
                 T, T,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
             )
             work[r:, r:] = work[r:, r:] - TTt
 

@@ -43,6 +43,7 @@ def _substitution_inv(Lb):
             li, X,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )  # row i of (L X_partial)
         e = jnp.where(col_ids == i, 1.0, 0.0)
         xrow = (e - s) / lii
@@ -86,6 +87,7 @@ def _chol_inv_kernel(a_ref, l_ref, inv_ref, work):
                 T, T,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
             )
             work[r:, r:] = work[r:, r:] - TTt
 
@@ -102,12 +104,14 @@ def _chol_inv_kernel(a_ref, l_ref, inv_ref, work):
             Li, Xprev,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )
         Dinv = inv_ref[0, r0:r1, r0:r1]
         row = -jax.lax.dot_general(
             Dinv, prod,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
         )
         inv_ref[0, r0:r1, :r0] = row
 

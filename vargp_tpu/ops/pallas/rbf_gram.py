@@ -35,6 +35,7 @@ def _gram_kernel(sx_ref, sy_ref, g2_ref, out_ref):
         sy,
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
     d2 = jnp.maximum(xx - 2.0 * xy + yy, 0.0)
     out_ref[0] = g2_ref[pl.program_id(0), 0] * jnp.exp(-0.5 * d2)
