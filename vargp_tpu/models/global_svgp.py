@@ -217,7 +217,9 @@ def grow_inducing(
     M_prev = prev_z.shape[-2]
     M_add = M_new - M_prev
     if M_add <= 0:
-        return prev_z
+        # fresh buffer: the result becomes a donated trainable while prev_z
+        # stays referenced by the frozen chain
+        return jnp.array(prev_z)
     z_add = select_inducing(key, data, M_add, out_size)
     return jnp.concatenate([prev_z, z_add], axis=-2)
 

@@ -298,6 +298,11 @@ def train_task(
             test_acc = compute_accuracy(test_set, pf, hp.batch_size)
 
             klh, klu, nll = (float(a) for a in aux)
+            if not all(np.isfinite(v) for v in (klh, klu, nll)):
+                raise FloatingPointError(
+                    f"non-finite ELBO at epoch {epoch + 1}: "
+                    f"kl_hypers={klh} kl_u={klu} nll={nll}"
+                )
             scalars = {
                 f"task{task_id}/loss/kl_hypers": klh,
                 f"task{task_id}/loss/kl_u": klu,

@@ -1,0 +1,73 @@
+"""Device-time profiling helpers.
+
+The reference has no tracing/profiling story (SURVEY.md §5 — tqdm only).
+On TPU — especially tunneled/remote chips where ``block_until_ready`` can
+return before device completion — wall clocks are unreliable; the XLA
+profiler's trace is the ground truth.  These helpers wrap
+``jax.profiler`` and parse the trace into per-op device times.
+"""
+
+import collections
+import glob
+import gzip
+import json
+import os
+import tempfile
+from contextlib import contextmanager
+
+
+@contextmanager
+def device_trace(log_dir: str | None = None):
+    """Context manager around jax.profiler.start/stop_trace."""
+    import jax
+
+    log_dir = log_dir or tempfile.mkdtemp(prefix="vargp_trace_")
+    jax.profiler.start_trace(log_dir)
+    holder = {"log_dir": log_dir}
+    try:
+        yield holder
+    finally:
+        jax.profiler.stop_trace()
+        holder["events"] = parse_trace(log_dir)
+
+
+def parse_trace(log_dir: str) -> dict[str, float]:
+    """Total device duration (ms) per op name from the latest trace file."""
+    files = sorted(
+        glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"), recursive=True)
+    )
+    if not files:
+        return {}
+    with gzip.open(files[-1]) as f:
+        trace = json.load(f)
+    durations = collections.Counter()
+    for e in trace.get("traceEvents", []):
+        if e.get("ph") == "X" and "dur" in e:
+            name = e.get("name", "?")
+            if name.startswith("$"):
+                continue
+            durations[name] += e["dur"]
+    return {k: v / 1000.0 for k, v in durations.items()}
+
+
+def profile_fn(fn, *args, iters: int = 10, top: int = 15) -> dict[str, float]:
+    """Run ``fn(*args)`` ``iters`` times under the profiler and return the
+    top per-op device times in ms (divided by iters).  ``fn`` should be
+    jitted; the first (compile) call happens outside the trace."""
+    import jax
+
+    out = fn(*args)
+    jax.tree_util.tree_map(
+        lambda t: t.block_until_ready() if hasattr(t, "block_until_ready") else t,
+        out,
+    )
+    with device_trace() as tr:
+        for _ in range(iters):
+            out = fn(*args)
+        jax.tree_util.tree_map(
+            lambda t: t.block_until_ready() if hasattr(t, "block_until_ready") else t,
+            out,
+        )
+    events = tr["events"]
+    ranked = sorted(events.items(), key=lambda kv: -kv[1])[:top]
+    return {k: v / iters for k, v in ranked}
