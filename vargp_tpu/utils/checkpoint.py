@@ -34,6 +34,24 @@ def save_pytree(path: str, tree) -> None:
         json.dump({"treedef": str(treedef), "n_leaves": len(leaves)}, f)
 
 
+# --- orbax backend (optional): async/multi-host-capable checkpoints -------
+
+
+def save_pytree_orbax(path: str, tree) -> None:
+    """Save via orbax-checkpoint (sharding-aware, multi-host safe)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def load_pytree_orbax(path: str, like):
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), like)
+
+
 def load_pytree(path: str, like):
     """Load arrays saved by save_pytree back into the structure of ``like``
     (an example pytree with matching topology)."""
