@@ -197,6 +197,46 @@ def pad_dataset_to_device(ds: ArrayDataset, batch_size: int):
     return jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)
 
 
+def make_device_eval_fn(cfg: V.VARGPConfig, hp: TrainHyperparams | None = None):
+    """Scanned whole-dataset accuracy: all eval batches in one dispatch.
+
+    xs: (K, B, D), ys/ws: (K, B) — returns (correct_count, weight_count).
+    """
+    n_f = hp.eval_n_f if hp else None
+    n_v = hp.eval_n_var_samples if hp else None
+
+    @jax.jit
+    def eval_acc(params, prev, xs, ys, ws, key):
+        def body(carry, batch):
+            i, correct = carry
+            x, y, w = batch
+            probs = V.predict(
+                params, prev, x, jax.random.fold_in(key, i), cfg,
+                n_f=n_f, n_var_samples=n_v,
+            )
+            hits = (jnp.argmax(probs, axis=-1) == y).astype(jnp.float32) * w
+            return (i + 1, correct + jnp.sum(hits)), None
+
+        (_, correct), _ = jax.lax.scan(body, (0, 0.0), (xs, ys, ws))
+        return correct, jnp.sum(ws)
+
+    return eval_acc
+
+
+def stack_eval_set(ds: ArrayDataset, batch_size: int):
+    """Stack a dataset into fixed-shape eval batches (K, B, ...) once."""
+    xs, ys, ws = [], [], []
+    for b in batch_iter(ds, batch_size, shuffle=False):
+        xs.append(b.x)
+        ys.append(b.y)
+        ws.append(b.w)
+    return (
+        jnp.asarray(np.stack(xs)),
+        jnp.asarray(np.stack(ys)),
+        jnp.asarray(np.stack(ws)),
+    )
+
+
 def make_predict_fn(cfg: V.VARGPConfig, hp: TrainHyperparams | None = None):
     n_f = hp.eval_n_f if hp else None
     n_v = hp.eval_n_var_samples if hp else None
@@ -258,6 +298,20 @@ def train_task(
     else:
         update = make_update_fn(cfg, tx, hp.beta, len(train_set))
     predict = make_predict_fn(cfg, hp)
+    if hp.scan_epoch:
+        eval_acc = make_device_eval_fn(cfg, hp)
+        eval_stacks = {
+            "train": (stack_eval_set(train_set, hp.batch_size), len(train_set)),
+            "val": (stack_eval_set(val_set, hp.batch_size), len(val_set)),
+            "test": (stack_eval_set(test_set, hp.batch_size), len(test_set)),
+        }
+
+        def _acc(split, k):
+            (xs, ys, ws), n = eval_stacks[split]
+            correct, _ = eval_acc(params, prev, xs, ys, ws, k)
+            correct = float(correct)
+            assert np.isfinite(correct), "Found NaNs"
+            return correct / n
 
     stopper = EarlyStopper(patience=hp.patience)
     data_rng = np.random.default_rng(seed)
@@ -290,12 +344,18 @@ def train_task(
         if (epoch + 1) % hp.eval_interval == 0 or epoch + 1 >= hp.epochs:
             key_seq, k_ev = jax.random.split(key_seq)
 
-            def pf(x, _k=k_ev):
-                return predict(params, prev, jnp.asarray(x), _k)
+            if hp.scan_epoch:
+                train_acc = _acc("train", k_ev)
+                val_acc = _acc("val", k_ev)
+                test_acc = _acc("test", k_ev)
+            else:
 
-            train_acc = compute_accuracy(train_set, pf, hp.batch_size)
-            val_acc = compute_accuracy(val_set, pf, hp.batch_size)
-            test_acc = compute_accuracy(test_set, pf, hp.batch_size)
+                def pf(x, _k=k_ev):
+                    return predict(params, prev, jnp.asarray(x), _k)
+
+                train_acc = compute_accuracy(train_set, pf, hp.batch_size)
+                val_acc = compute_accuracy(val_set, pf, hp.batch_size)
+                test_acc = compute_accuracy(test_set, pf, hp.batch_size)
 
             klh, klu, nll = (float(a) for a in aux)
             if not all(np.isfinite(v) for v in (klh, klu, nll)):
