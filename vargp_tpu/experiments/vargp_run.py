@@ -26,7 +26,7 @@ def _log_dir(name: str) -> str:
 
 
 def _run_task_stream(
-    name, tasks, cfg, hp, seed, log_dir=None, n_tasks_cap=None
+    name, tasks, cfg, hp, seed, log_dir=None, n_tasks_cap=None, ls_init=None
 ):
     """Shared continual loop: per-task train, chain growth, ckpt save."""
     key, seed = seed_everything(seed)
@@ -41,6 +41,7 @@ def _run_task_stream(
             params, info = train_task(
                 k_task, t, train_set, val_set, test_set, cfg, hp,
                 prev_chain=chain, logger=logger, seed=seed + t,
+                ls_init=ls_init,
             )
             chain.append(params)
             save_chain(log_dir, t, params)
@@ -57,6 +58,7 @@ def toy(
     epochs=5000, M=20, lr=1e-2, batch_size=512, beta=1.0,
     n_f=10, n_var_samples=3, ep_var_mean=True, map_est_hypers=False,
     dkl=False, seed=None, eval_interval=10, log_dir=None, n_tasks=2,
+    ls_init=None,
 ):
     """Parity: experiments/vargp.py:76-104 (patience disabled)."""
     toy_all = data.make_toy_dataset(seed=seed or 0)
@@ -76,14 +78,14 @@ def toy(
         epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
         eval_interval=eval_interval, patience=-1,
     )
-    return _run_task_stream("toy", tasks(), cfg, hp, seed, log_dir)
+    return _run_task_stream("toy", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init)
 
 
 def split_mnist(
     data_dir=None, epochs=500, M=60, lr=3e-3, batch_size=512, beta=10.0,
     n_f=10, n_var_samples=3, ep_var_mean=True, map_est_hypers=False,
     dkl=False, seed=None, eval_interval=10, patience=20, log_dir=None,
-    n_tasks=5,
+    n_tasks=5, ls_init=None,
 ):
     """Parity: experiments/vargp.py:107-140."""
     rng = np.random.default_rng(seed or 0)
@@ -107,14 +109,14 @@ def split_mnist(
         epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
         eval_interval=eval_interval, patience=patience,
     )
-    return _run_task_stream("s_mnist", tasks(), cfg, hp, seed, log_dir)
+    return _run_task_stream("s_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init)
 
 
 def permuted_mnist(
     data_dir=None, n_tasks=10, epochs=1000, M=100, lr=3.7e-3,
     batch_size=512, beta=1.64, n_f=10, n_var_samples=3, ep_var_mean=True,
     map_est_hypers=False, dkl=False, seed=None, eval_interval=10,
-    patience=20, log_dir=None,
+    patience=20, log_dir=None, ls_init=None,
 ):
     """Parity: experiments/vargp.py:143-186 — task 0 unpermuted; val/test
     accumulate all task variants seen so far (ConcatDataset protocol)."""
@@ -143,4 +145,4 @@ def permuted_mnist(
         epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
         eval_interval=eval_interval, patience=patience,
     )
-    return _run_task_stream("p_mnist", tasks(), cfg, hp, seed, log_dir)
+    return _run_task_stream("p_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init)

@@ -258,6 +258,18 @@ def _theta_size(cfg: VARGPConfig) -> int:
 # ---------------------------------------------------------------------------
 
 
+def median_log_lengthscale(data: jax.Array, n_sample: int = 512) -> jax.Array:
+    """Median-heuristic log-lengthscale: log of the median pairwise
+    distance of a data subsample (per-dimension shared).  Guards against
+    the dead-kernel regime on high-dimensional inputs where exp(-d^2/2)
+    underflows at the reference's fixed init (no reference counterpart —
+    opt-in via the drivers' ls_init='median')."""
+    x = data[:n_sample]
+    d2 = jnp.sum(jnp.square(x[:, None] - x[None]), axis=-1)
+    med = jnp.sqrt(jnp.median(d2[d2 > 0]))
+    return jnp.log(jnp.maximum(med, 1e-3))
+
+
 def init_params(
     key: jax.Array,
     z_init: jax.Array,
@@ -265,6 +277,7 @@ def init_params(
     *,
     kernel_prior_from: RBFParams | None = None,
     phi_init: MLPParams | None = None,
+    log_lengthscale_init: jax.Array | float | None = None,
 ) -> tuple[VARGPParams, RBFPrior]:
     """Build trainable params for a new task.
 
@@ -277,6 +290,13 @@ def init_params(
     theta_size = _theta_size(cfg)
 
     kernel = init_rbf(k_kern, theta_size)
+    if log_lengthscale_init is not None:
+        ls = jnp.broadcast_to(
+            jnp.asarray(log_lengthscale_init, kernel.log_mean.dtype), (theta_size,)
+        )
+        kernel = kernel._replace(
+            log_mean=jnp.concatenate([ls, kernel.log_mean[-1:]])
+        )
     if kernel_prior_from is not None:
         prior = RBFPrior(
             log_mean=kernel_prior_from.log_mean,

@@ -259,6 +259,7 @@ def train_task(
     prev_chain: Sequence[V.VARGPParams] = (),
     logger=None,
     seed: int | None = None,
+    ls_init=None,
 ):
     """Train one task; returns (best_params, info dict).
 
@@ -275,8 +276,14 @@ def train_task(
     z_init = V.select_inducing(
         k_init, jnp.asarray(train_set.data), cfg.M, cfg.out_size
     )
+    log_ls = None
+    if ls_init == "median":
+        log_ls = V.median_log_lengthscale(jnp.asarray(train_set.data))
+    elif ls_init is not None:
+        log_ls = float(np.log(ls_init))
     params, prior = V.init_params(
-        k_init, z_init, cfg, kernel_prior_from=kernel_prior_from, phi_init=phi_init
+        k_init, z_init, cfg, kernel_prior_from=kernel_prior_from,
+        phi_init=phi_init, log_lengthscale_init=log_ls,
     )
 
     tx = make_optimizer(hp)
