@@ -26,6 +26,7 @@ def _commands():
         "toy": vargp_run.toy,
         "s_mnist": vargp_run.split_mnist,
         "p_mnist": vargp_run.permuted_mnist,
+        "varying_m": vargp_run.varying_m,
         # reference: experiments/{mnist_global,toy_global}.py
         "toy_global": global_run.toy_global,
         "s_mnist_global": global_run.split_mnist,

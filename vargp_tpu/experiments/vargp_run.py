@@ -146,3 +146,38 @@ def permuted_mnist(
         eval_interval=eval_interval, patience=patience,
     )
     return _run_task_stream("p_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init)
+
+
+def varying_m(
+    ms=(20, 40, 60, 80, 100, 120, 140, 160, 180, 200),
+    data_dir=None, epochs=500, lr=3e-3, batch_size=512, beta=10.0,
+    seed=None, patience=20, log_dir=None, n_tasks=5, **kwargs,
+):
+    """Inducing-point sweep: final average S-MNIST accuracy vs M
+    (parity: mnist.ipynb cell 17, varying_M.csv)."""
+    import json
+
+    base = log_dir or _log_dir("varying_m")
+    results = {}
+    for m in ms:
+        _, summaries = split_mnist(
+            data_dir=data_dir, epochs=epochs, M=int(m), lr=lr,
+            batch_size=batch_size, beta=beta, seed=seed, patience=patience,
+            log_dir=os.path.join(base, f"M{m}"), n_tasks=n_tasks, **kwargs,
+        )
+        final = summaries[-1] if summaries else {}
+        acc = next(
+            (v for k, v in final.items() if k.endswith("test/acc")), 0.0
+        )
+        results[int(m)] = float(acc)
+        print(f"[varying_m] M={m}: final test acc {acc:.4f}")
+    os.makedirs(base, exist_ok=True)
+    with open(os.path.join(base, "varying_M.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    try:
+        from vargp_tpu.experiments.plots import plot_accuracy_vs_m
+
+        plot_accuracy_vs_m(results, out_path=os.path.join(base, "varying_M.png"))
+    except Exception:
+        pass
+    return results
