@@ -33,6 +33,7 @@ def _run_task_stream(
     log_dir = log_dir or _log_dir(name)
     chain = []
     summaries = []
+    shared = {}
     with MetricsLogger(log_dir) as logger:
         for t, (train_set, val_set, test_set) in enumerate(tasks):
             if n_tasks_cap is not None and t >= n_tasks_cap:
@@ -41,7 +42,7 @@ def _run_task_stream(
             params, info = train_task(
                 k_task, t, train_set, val_set, test_set, cfg, hp,
                 prev_chain=chain, logger=logger, seed=seed + t,
-                ls_init=ls_init,
+                ls_init=ls_init, shared=shared,
             )
             chain.append(params)
             save_chain(log_dir, t, params)
@@ -77,6 +78,8 @@ def toy(
     hp = TrainHyperparams(
         epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
         eval_interval=eval_interval, patience=-1,
+        pad_tasks_to=n_tasks, pad_data_rows=batch_size,
+        pad_eval_batches=-(-len(toy_all) // batch_size),
     )
     return _run_task_stream("toy", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init)
 
@@ -105,9 +108,19 @@ def split_mnist(
         ep_var_mean=bool(ep_var_mean), map_est_hypers=bool(map_est_hypers),
         dkl=bool(dkl),
     )
+    # padded-chain compilation: shape-constant programs across all tasks
+    counts = np.bincount(train_all.targets, minlength=2 * n_tasks)
+    max_train = int(max(counts[2 * t] + counts[2 * t + 1] for t in range(n_tasks)))
+    max_eval_rows = max(
+        max_train,
+        int(np.sum(np.bincount(val_all.targets, minlength=2 * n_tasks)[: 2 * n_tasks])),
+        int(np.sum(np.bincount(mnist_test.targets, minlength=2 * n_tasks)[: 2 * n_tasks])),
+    )
     hp = TrainHyperparams(
         epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
         eval_interval=eval_interval, patience=patience,
+        pad_tasks_to=n_tasks, pad_data_rows=max_train,
+        pad_eval_batches=-(-max_eval_rows // batch_size),
     )
     return _run_task_stream("s_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init)
 
@@ -141,9 +154,12 @@ def permuted_mnist(
         ep_var_mean=bool(ep_var_mean), map_est_hypers=bool(map_est_hypers),
         dkl=bool(dkl),
     )
+    max_eval_rows = n_tasks * max(len(val_all), len(mnist_test_full))
     hp = TrainHyperparams(
         epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
         eval_interval=eval_interval, patience=patience,
+        pad_tasks_to=n_tasks, pad_data_rows=len(train_all),
+        pad_eval_batches=-(-max_eval_rows // batch_size),
     )
     return _run_task_stream("p_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init)
 

@@ -102,6 +102,44 @@ def _concat_chain(params: VARGPParams, prev: Sequence[TaskPosterior], cfg):
     return z_all, u_means, u_trils, u_tril_t
 
 
+def pad_chain(
+    prev: Sequence[TaskPosterior], cfg: VARGPConfig, t_max: int
+):
+    """Pad the frozen chain to ``t_max - 1`` entries with inert dummies.
+
+    Padded-chain compilation: chain length changes array shapes, so every
+    task would recompile its programs.  Dummy tasks (z=0, u_mean=0,
+    u_tril=I) plus Gram masking (see ``forward``) make the computation
+    EXACT for the real prefix — the masked Gram is block-diagonal between
+    real and pad rows, its Cholesky embeds the real factors unchanged, and
+    pad rows never touch the marginal or the KLs.  One compile serves all
+    tasks; the task index lives in ``chain_mask`` (a traced input).
+
+    Returns (padded_prev, chain_mask) with chain_mask: (t_max-1,) float.
+    """
+    n_prev = len(prev)
+    assert n_prev <= t_max - 1, (n_prev, t_max)
+    dummy = TaskPosterior(
+        z=jnp.zeros((cfg.out_size, cfg.M, cfg.in_size)),
+        u_mean=jnp.zeros((cfg.out_size, cfg.M, 1)),
+        u_tril=jnp.broadcast_to(
+            jnp.eye(cfg.M), (cfg.out_size, cfg.M, cfg.M)
+        ),
+    )
+    padded = tuple(prev) + tuple(dummy for _ in range(t_max - 1 - n_prev))
+    mask = jnp.asarray(
+        [1.0] * n_prev + [0.0] * (t_max - 1 - n_prev), jnp.float32
+    )
+    return padded, mask
+
+
+def _row_mask(chain_mask: jax.Array, M: int) -> jax.Array:
+    """Per-inducing-row mask over the full chain incl. the current task."""
+    return jnp.concatenate(
+        [jnp.repeat(chain_mask, M), jnp.ones((M,), chain_mask.dtype)]
+    )
+
+
 def forward(
     params: VARGPParams,
     prev: Sequence[TaskPosterior],
@@ -111,11 +149,15 @@ def forward(
     cfg: VARGPConfig,
     *,
     with_kl: bool,
+    chain_mask: jax.Array | None = None,
 ) -> ForwardResult:
     """One fused ELBO forward pass (parity: vargp.py:115-194).
 
     x: (B, D).  Returns diag predictive moments per hyper-sample and, when
-    ``with_kl``, the two KL terms of the ELBO.
+    ``with_kl``, the two KL terms of the ELBO.  ``chain_mask`` activates
+    padded-chain mode (see ``pad_chain``): Gram rows of masked-out tasks
+    are zeroed with unit diagonal, which embeds the unpadded computation
+    exactly.
     """
     k_hyp, k_u = jax.random.split(key)
     theta = sample_hypers(k_hyp, params.kernel, cfg.n_var_samples, map_est=cfg.map_est_hypers)
@@ -124,6 +166,9 @@ def forward(
     z_all, u_means, u_trils, u_tril_t = _concat_chain(params, prev, cfg)
 
     Kzz = gram_(theta, z_all)  # (H, O, SM, SM)
+    if chain_mask is not None:
+        rm = _row_mask(chain_mask, cfg.M)
+        Kzz = Kzz * (rm[:, None] * rm[None, :]) + jnp.diag(1.0 - rm)
     if cfg.solve_via_inverse:
         from vargp_tpu.ops.dispatch import chol_and_inv
 
@@ -136,6 +181,8 @@ def forward(
 
     xb = jnp.broadcast_to(x[None], (cfg.out_size, *x.shape))
     Kzx = gram_(theta, z_all, xb)  # (H, O, SM, B)
+    if chain_mask is not None:
+        Kzx = Kzx * _row_mask(chain_mask, cfg.M)[:, None]
     kxx_diag = gram_diag(theta)  # (H, 1, 1)
 
     f_mean, f_var = gpmath.whitened_marginal_diag(
@@ -207,12 +254,18 @@ def loss(
     key: jax.Array,
     cfg: VARGPConfig,
     weights: jax.Array | None = None,
+    chain_mask: jax.Array | None = None,
 ):
     """ELBO pieces (kl_hypers, kl_u, nll) — parity: vargp.py:177-194.
     The driver combines them as beta*kl_hypers + kl_u + (N/B)*nll.
-    ``weights`` masks padded batch rows (static-shape batching)."""
+    ``weights`` masks padded batch rows (static-shape batching);
+    ``chain_mask`` activates padded-chain mode (one compile per
+    experiment — the chained KL degenerates exactly to the task-0 KL when
+    every chain slot is masked)."""
     k_fwd, k_lik = jax.random.split(key)
-    out = forward(params, prev, prior, x, k_fwd, cfg, with_kl=True)
+    out = forward(
+        params, prev, prior, x, k_fwd, cfg, with_kl=True, chain_mask=chain_mask
+    )
     nll = softmax_loss(k_lik, out.f_mean, out.f_var, y, cfg.n_f, weights=weights)
     return out.kl_hypers, out.kl_u, nll
 
@@ -226,6 +279,7 @@ def predict(
     *,
     n_f: int | None = None,
     n_var_samples: int | None = None,
+    chain_mask: jax.Array | None = None,
 ) -> jax.Array:
     """Predictive class probabilities, (B, out_size) — parity vargp.py:196-198.
     Eval-time MC budgets (n_f, n_var_samples) can be overridden, matching the
@@ -242,7 +296,7 @@ def predict(
     k_fwd, k_lik = jax.random.split(key)
     out = forward(
         params, prev, default_prior(_theta_size(cfg_eval)), x, k_fwd, cfg_eval,
-        with_kl=False,
+        with_kl=False, chain_mask=chain_mask,
     )
     return softmax_predict(k_lik, out.f_mean, out.f_var, cfg_eval.n_f)
 

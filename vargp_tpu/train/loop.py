@@ -40,6 +40,12 @@ class TrainHyperparams:
     # one scanned device program per epoch (vs one dispatch per minibatch);
     # identical math, large win when host->device dispatch is expensive
     scan_epoch: bool = True
+    # padded-chain compilation: fix the chain length (pad_tasks_to) and the
+    # padded dataset / eval-stack sizes so ONE compiled program serves every
+    # task of a continual run (exact math; see models.vargp.pad_chain)
+    pad_tasks_to: int | None = None
+    pad_data_rows: int | None = None
+    pad_eval_batches: int | None = None
 
 
 def make_optimizer(hp: TrainHyperparams) -> optax.GradientTransformation:
@@ -126,7 +132,6 @@ def make_device_train_fn(
     cfg: V.VARGPConfig,
     tx,
     beta: float,
-    n_train: int,
     batch_size: int,
     n_epochs: int,
 ):
@@ -140,7 +145,8 @@ def make_device_train_fn(
     """
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def run(params, opt_state, prev, prior, data_x, data_y, data_w, key):
+    def run(params, opt_state, prev, prior, chain_mask, n_train,
+            data_x, data_y, data_w, key):
         n_pad = data_x.shape[0]
         steps_per_epoch = n_pad // batch_size
 
@@ -158,7 +164,10 @@ def make_device_train_fn(
                 k = jax.random.fold_in(k_ep, s + 1)
 
                 def total_loss(p):
-                    klh, klu, nll = V.loss(p, prev, prior, x, y, k, cfg, weights=w)
+                    klh, klu, nll = V.loss(
+                        p, prev, prior, x, y, k, cfg, weights=w,
+                        chain_mask=chain_mask,
+                    )
                     scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
                     return beta * klh + klu + scale * nll, (klh, klu, nll)
 
@@ -186,10 +195,16 @@ def make_device_train_fn(
     return run
 
 
-def pad_dataset_to_device(ds: ArrayDataset, batch_size: int):
-    """Pad to a batch multiple with zero-weight rows and move to device."""
+def pad_dataset_to_device(ds: ArrayDataset, batch_size: int, n_rows: int | None = None):
+    """Pad to a batch multiple (or to ``n_rows``) with zero-weight rows and
+    move to device."""
     n = len(ds)
     n_pad = ((n + batch_size - 1) // batch_size) * batch_size
+    if n_rows is not None:
+        assert n_rows >= n, (n_rows, n)
+        n_pad = max(
+            n_pad, ((n_rows + batch_size - 1) // batch_size) * batch_size
+        )
     x = np.zeros((n_pad, ds.data.shape[1]), dtype=np.float32)
     y = np.zeros((n_pad,), dtype=np.int32)
     w = np.zeros((n_pad,), dtype=np.float32)
@@ -206,13 +221,13 @@ def make_device_eval_fn(cfg: V.VARGPConfig, hp: TrainHyperparams | None = None):
     n_v = hp.eval_n_var_samples if hp else None
 
     @jax.jit
-    def eval_acc(params, prev, xs, ys, ws, key):
+    def eval_acc(params, prev, chain_mask, xs, ys, ws, key):
         def body(carry, batch):
             i, correct = carry
             x, y, w = batch
             probs = V.predict(
                 params, prev, x, jax.random.fold_in(key, i), cfg,
-                n_f=n_f, n_var_samples=n_v,
+                n_f=n_f, n_var_samples=n_v, chain_mask=chain_mask,
             )
             hits = (jnp.argmax(probs, axis=-1) == y).astype(jnp.float32) * w
             return (i + 1, correct + jnp.sum(hits)), None
@@ -223,13 +238,19 @@ def make_device_eval_fn(cfg: V.VARGPConfig, hp: TrainHyperparams | None = None):
     return eval_acc
 
 
-def stack_eval_set(ds: ArrayDataset, batch_size: int):
-    """Stack a dataset into fixed-shape eval batches (K, B, ...) once."""
+def stack_eval_set(ds: ArrayDataset, batch_size: int, n_batches: int | None = None):
+    """Stack a dataset into fixed-shape eval batches (K, B, ...) once;
+    pads with zero-weight batches up to ``n_batches`` if given."""
     xs, ys, ws = [], [], []
     for b in batch_iter(ds, batch_size, shuffle=False):
         xs.append(b.x)
         ys.append(b.y)
         ws.append(b.w)
+    if n_batches is not None:
+        while len(xs) < n_batches:
+            xs.append(np.zeros_like(xs[0]))
+            ys.append(np.zeros_like(ys[0]))
+            ws.append(np.zeros_like(ws[0]))
     return (
         jnp.asarray(np.stack(xs)),
         jnp.asarray(np.stack(ys)),
@@ -248,6 +269,13 @@ def make_predict_fn(cfg: V.VARGPConfig, hp: TrainHyperparams | None = None):
     return predict
 
 
+def _eval_batches(hp: TrainHyperparams, ds: ArrayDataset) -> int | None:
+    if hp.pad_eval_batches is None:
+        return None
+    need = -(-len(ds) // hp.batch_size)
+    return max(hp.pad_eval_batches, need)
+
+
 def train_task(
     key: jax.Array,
     task_id: int,
@@ -260,16 +288,27 @@ def train_task(
     logger=None,
     seed: int | None = None,
     ls_init=None,
+    shared: dict | None = None,
 ):
     """Train one task; returns (best_params, info dict).
 
     ``prev_chain`` holds the best params of every earlier task; the frozen
     TaskPosterior chain, kernel hyperprior chaining and DKL warm-start are
     derived from it (parity: create_clf, vargp.py:200-243).
+
+    ``shared`` (with hp.pad_tasks_to/pad_data_rows/pad_eval_batches set)
+    carries jitted programs across tasks: padded-chain compilation makes
+    every task's programs shape-identical, so the whole continual run
+    compiles once.
     """
     k_init, k_run = jax.random.split(key)
 
     prev = tuple(V.freeze_task(p) for p in prev_chain)
+    if hp.pad_tasks_to is not None:
+        prev, chain_mask = V.pad_chain(prev, cfg, hp.pad_tasks_to)
+    else:
+        chain_mask = jnp.ones((len(prev),), jnp.float32)
+    shared = shared if shared is not None else {}
     kernel_prior_from = prev_chain[-1].kernel if prev_chain else None
     phi_init = prev_chain[-1].phi if (prev_chain and cfg.dkl) else None
 
@@ -286,19 +325,22 @@ def train_task(
         phi_init=phi_init, log_lengthscale_init=log_ls,
     )
 
-    tx = make_optimizer(hp)
+    tx = shared.setdefault("tx", make_optimizer(hp))
     opt_state = tx.init(params)
+    n_train = jnp.asarray(float(len(train_set)))
     if hp.scan_epoch:
         # dataset lives on device; shuffle/batch/update all inside one
         # compiled block of eval_interval epochs
-        data_x, data_y, data_w = pad_dataset_to_device(train_set, hp.batch_size)
+        data_x, data_y, data_w = pad_dataset_to_device(
+            train_set, hp.batch_size, n_rows=hp.pad_data_rows
+        )
         steps_per_epoch = data_x.shape[0] // hp.batch_size
-        _block_fns: dict[int, callable] = {}
+        _block_fns = shared.setdefault("block_fns", {})
 
         def run_block(n_epochs, *args):
             if n_epochs not in _block_fns:
                 _block_fns[n_epochs] = make_device_train_fn(
-                    cfg, tx, hp.beta, len(train_set), hp.batch_size, n_epochs
+                    cfg, tx, hp.beta, hp.batch_size, n_epochs
                 )
             return _block_fns[n_epochs](*args)
 
@@ -306,16 +348,27 @@ def train_task(
         update = make_update_fn(cfg, tx, hp.beta, len(train_set))
     predict = make_predict_fn(cfg, hp)
     if hp.scan_epoch:
-        eval_acc = make_device_eval_fn(cfg, hp)
+        if "eval_acc" not in shared:
+            shared["eval_acc"] = make_device_eval_fn(cfg, hp)
+        eval_acc = shared["eval_acc"]
         eval_stacks = {
-            "train": (stack_eval_set(train_set, hp.batch_size), len(train_set)),
-            "val": (stack_eval_set(val_set, hp.batch_size), len(val_set)),
-            "test": (stack_eval_set(test_set, hp.batch_size), len(test_set)),
+            "train": (
+                stack_eval_set(train_set, hp.batch_size, _eval_batches(hp, train_set)),
+                len(train_set),
+            ),
+            "val": (
+                stack_eval_set(val_set, hp.batch_size, _eval_batches(hp, val_set)),
+                len(val_set),
+            ),
+            "test": (
+                stack_eval_set(test_set, hp.batch_size, _eval_batches(hp, test_set)),
+                len(test_set),
+            ),
         }
 
         def _acc(split, k):
             (xs, ys, ws), n = eval_stacks[split]
-            correct, _ = eval_acc(params, prev, xs, ys, ws, k)
+            correct, _ = eval_acc(params, prev, chain_mask, xs, ys, ws, k)
             correct = float(correct)
             assert np.isfinite(correct), "Found NaNs"
             return correct / n
@@ -333,7 +386,7 @@ def train_task(
             block = min(hp.eval_interval, hp.epochs - (epoch + 1))
             key_seq, k_blk = jax.random.split(key_seq)
             params, opt_state, loss_val, aux = run_block(
-                block, params, opt_state, prev, prior,
+                block, params, opt_state, prev, prior, chain_mask, n_train,
                 data_x, data_y, data_w, k_blk,
             )
             steps += block * steps_per_epoch
