@@ -13,7 +13,23 @@ from vargp_tpu.train.loop import TrainHyperparams, train_task
 from vargp_tpu.utils.checkpoint import load_pytree, save_chain
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=2)
+def _cached_chain(dkl=False):
+    return _train_tiny_chain_impl(dkl)
+
+
 def _train_tiny_chain(tmp_path, dkl=False):
+    """Train once per dkl flag (cached); re-save ckpts into tmp_path."""
+    chain, cfg, toy = _cached_chain(dkl)
+    for t, params in enumerate(chain):
+        save_chain(str(tmp_path), t, params)
+    return chain, cfg, toy
+
+
+def _train_tiny_chain_impl(dkl=False):
     toy = data.make_toy_dataset(seed=0)
     cfg = V.VARGPConfig(
         M=6, out_size=4, in_size=2, n_f=4, n_var_samples=2, dkl=dkl
@@ -31,7 +47,6 @@ def _train_tiny_chain(tmp_path, dkl=False):
             k, t, train_set, seen, seen, cfg, hp, prev_chain=chain, seed=t
         )
         chain.append(params)
-        save_chain(str(tmp_path), t, params)
     return chain, cfg, toy
 
 

@@ -62,6 +62,10 @@ def mnist_available(data_dir: str | None = None) -> bool:
     return _find_idx(data_dir, True) is not None
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=4)
 def _synthetic_mnist(train: bool, seed: int = 1234) -> ArrayDataset:
     """Deterministic MNIST-shaped surrogate with *real-MNIST distance
     statistics*: sparse stroke images (~20% ink) built from a stroke bank

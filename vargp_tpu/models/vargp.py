@@ -361,7 +361,12 @@ def init_params(
 
     phi = None
     if cfg.dkl:
-        phi = phi_init if phi_init is not None else init_mlp(k_phi, cfg.in_size)
+        if phi_init is not None:
+            # fresh buffers: phi becomes part of the (donated) trainable
+            # params while the caller's chain keeps its own copy
+            phi = jax.tree_util.tree_map(jnp.copy, phi_init)
+        else:
+            phi = init_mlp(k_phi, cfg.in_size)
 
     u_mean = 0.5 * jax.random.normal(k_u, (cfg.out_size, cfg.M, 1))
     # reference init: packed identity (raw 1.0 diag) -> softplus(1) on the
