@@ -46,6 +46,10 @@ class TrainHyperparams:
     pad_tasks_to: int | None = None
     pad_data_rows: int | None = None
     pad_eval_batches: int | None = None
+    # upper bound on optimizer steps per device dispatch: bounds single-
+    # execution time (remote/tunneled TPUs kill very long dispatches) and
+    # compile memory for large models
+    max_steps_per_dispatch: int = 128
 
 
 def make_optimizer(hp: TrainHyperparams) -> optax.GradientTransformation:
@@ -150,43 +154,39 @@ def make_device_train_fn(
         n_pad = data_x.shape[0]
         steps_per_epoch = n_pad // batch_size
 
-        def epoch_body(carry, e):
+        # one FLAT scan over all steps (nested epoch/step scans at large
+        # model sizes produce programs big enough to crash the compiler);
+        # per-epoch shuffles are precomputed as a (n_epochs, n_pad) table
+        perm_keys = jax.vmap(lambda e: jax.random.fold_in(key, e))(
+            jnp.arange(n_epochs)
+        )
+        perms = jax.vmap(lambda k: jax.random.permutation(k, n_pad))(perm_keys)
+
+        def step(carry, s):
             params, opt_state = carry
-            k_ep = jax.random.fold_in(key, e)
-            perm = jax.random.permutation(jax.random.fold_in(k_ep, 0), n_pad)
+            e = s // steps_per_epoch
+            o = (s % steps_per_epoch) * batch_size
+            idx = jax.lax.dynamic_slice(perms[e], (o,), (batch_size,))
+            x, y, w = data_x[idx], data_y[idx], data_w[idx]
+            k = jax.random.fold_in(key, n_epochs + s)
 
-            def step(carry2, s):
-                params, opt_state = carry2
-                idx = jax.lax.dynamic_slice(
-                    perm, (s * batch_size,), (batch_size,)
+            def total_loss(p):
+                klh, klu, nll = V.loss(
+                    p, prev, prior, x, y, k, cfg, weights=w,
+                    chain_mask=chain_mask,
                 )
-                x, y, w = data_x[idx], data_y[idx], data_w[idx]
-                k = jax.random.fold_in(k_ep, s + 1)
+                scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
+                return beta * klh + klu + scale * nll, (klh, klu, nll)
 
-                def total_loss(p):
-                    klh, klu, nll = V.loss(
-                        p, prev, prior, x, y, k, cfg, weights=w,
-                        chain_mask=chain_mask,
-                    )
-                    scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
-                    return beta * klh + klu + scale * nll, (klh, klu, nll)
-
-                (loss_val, aux), grads = jax.value_and_grad(
-                    total_loss, has_aux=True
-                )(params)
-                updates, opt_state = tx.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return (params, opt_state), (loss_val, aux)
-
-            (params, opt_state), (losses, auxs) = jax.lax.scan(
-                step, (params, opt_state), jnp.arange(steps_per_epoch)
-            )
-            return (params, opt_state), (losses[-1], jax.tree_util.tree_map(
-                lambda a: a[-1], auxs
-            ))
+            (loss_val, aux), grads = jax.value_and_grad(
+                total_loss, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, opt_state), (loss_val, aux)
 
         (params, opt_state), (losses, auxs) = jax.lax.scan(
-            epoch_body, (params, opt_state), jnp.arange(n_epochs)
+            step, (params, opt_state), jnp.arange(n_epochs * steps_per_epoch)
         )
         return params, opt_state, losses[-1], jax.tree_util.tree_map(
             lambda a: a[-1], auxs
@@ -381,9 +381,10 @@ def train_task(
     t_start = time.time()
     steps = 0
     epoch = -1
+    max_block_epochs = max(1, hp.max_steps_per_dispatch // max(steps_per_epoch, 1)) if hp.scan_epoch else 1
     while epoch + 1 < hp.epochs:
         if hp.scan_epoch:
-            block = min(hp.eval_interval, hp.epochs - (epoch + 1))
+            block = min(hp.eval_interval, hp.epochs - (epoch + 1), max_block_epochs)
             key_seq, k_blk = jax.random.split(key_seq)
             params, opt_state, loss_val, aux = run_block(
                 block, params, opt_state, prev, prior, chain_mask, n_train,
