@@ -47,3 +47,24 @@ def test_global_smnist_driver_tiny(tmp_path):
         log_dir=str(tmp_path), n_tasks=2,
     )
     assert len(summaries) == 2
+
+
+def test_toy_driver_resume(tmp_path):
+    """Crash-resume: rerunning with resume=True skips completed tasks and
+    produces a usable chain."""
+    chain1, _ = vargp_run.toy(
+        epochs=4, M=6, eval_interval=2, batch_size=128, seed=0,
+        log_dir=str(tmp_path), n_tasks=2,
+    )
+    chain2, summaries = vargp_run.toy(
+        epochs=4, M=6, eval_interval=2, batch_size=128, seed=0,
+        log_dir=str(tmp_path), n_tasks=2, resume=True,
+    )
+    assert len(chain2) == 2
+    import jax
+    import numpy as np
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(chain1[0]), jax.tree_util.tree_leaves(chain2[0])
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))

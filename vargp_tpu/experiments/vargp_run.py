@@ -26,9 +26,14 @@ def _log_dir(name: str) -> str:
 
 
 def _run_task_stream(
-    name, tasks, cfg, hp, seed, log_dir=None, n_tasks_cap=None, ls_init=None
+    name, tasks, cfg, hp, seed, log_dir=None, n_tasks_cap=None, ls_init=None,
+    resume=False,
 ):
-    """Shared continual loop: per-task train, chain growth, ckpt save."""
+    """Shared continual loop: per-task train, chain growth, ckpt save.
+
+    ``resume=True`` reloads completed tasks' ckpt{t}.npz from log_dir and
+    continues from the first missing task (failure recovery — the
+    checkpoint chain IS the model, so resumption is exact)."""
     key, seed = seed_everything(seed)
     log_dir = log_dir or _log_dir(name)
     chain = []
@@ -39,6 +44,19 @@ def _run_task_stream(
             if n_tasks_cap is not None and t >= n_tasks_cap:
                 break
             key, k_task = jax.random.split(key)
+            ckpt_path = os.path.join(log_dir, f"ckpt{t}.npz")
+            if resume and os.path.exists(ckpt_path):
+                from vargp_tpu.models.vargp import init_params, select_inducing
+                from vargp_tpu.utils.checkpoint import load_pytree
+
+                z0 = select_inducing(
+                    k_task, jax.numpy.asarray(train_set.data), cfg.M, cfg.out_size
+                )
+                template, _ = init_params(k_task, z0, cfg)
+                chain.append(load_pytree(ckpt_path, template))
+                summaries.append({})
+                print(f"[{name}] task {t}: resumed from {ckpt_path}")
+                continue
             params, info = train_task(
                 k_task, t, train_set, val_set, test_set, cfg, hp,
                 prev_chain=chain, logger=logger, seed=seed + t,
@@ -59,7 +77,7 @@ def toy(
     epochs=5000, M=20, lr=1e-2, batch_size=512, beta=1.0,
     n_f=10, n_var_samples=3, ep_var_mean=True, map_est_hypers=False,
     dkl=False, seed=None, eval_interval=10, log_dir=None, n_tasks=2,
-    ls_init=None,
+    ls_init=None, resume=False,
 ):
     """Parity: experiments/vargp.py:76-104 (patience disabled)."""
     toy_all = data.make_toy_dataset(seed=seed or 0)
@@ -81,14 +99,14 @@ def toy(
         pad_tasks_to=n_tasks, pad_data_rows=batch_size,
         pad_eval_batches=-(-len(toy_all) // batch_size),
     )
-    return _run_task_stream("toy", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init)
+    return _run_task_stream("toy", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init, resume=resume)
 
 
 def split_mnist(
     data_dir=None, epochs=500, M=60, lr=3e-3, batch_size=512, beta=10.0,
     n_f=10, n_var_samples=3, ep_var_mean=True, map_est_hypers=False,
     dkl=False, seed=None, eval_interval=10, patience=20, log_dir=None,
-    n_tasks=5, ls_init=None,
+    n_tasks=5, ls_init=None, resume=False,
 ):
     """Parity: experiments/vargp.py:107-140."""
     rng = np.random.default_rng(seed or 0)
@@ -122,14 +140,14 @@ def split_mnist(
         pad_tasks_to=n_tasks, pad_data_rows=max_train,
         pad_eval_batches=-(-max_eval_rows // batch_size),
     )
-    return _run_task_stream("s_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init)
+    return _run_task_stream("s_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init, resume=resume)
 
 
 def permuted_mnist(
     data_dir=None, n_tasks=10, epochs=1000, M=100, lr=3.7e-3,
     batch_size=512, beta=1.64, n_f=10, n_var_samples=3, ep_var_mean=True,
     map_est_hypers=False, dkl=False, seed=None, eval_interval=10,
-    patience=20, log_dir=None, ls_init=None,
+    patience=20, log_dir=None, ls_init=None, resume=False,
 ):
     """Parity: experiments/vargp.py:143-186 — task 0 unpermuted; val/test
     accumulate all task variants seen so far (ConcatDataset protocol)."""
@@ -161,7 +179,7 @@ def permuted_mnist(
         pad_tasks_to=n_tasks, pad_data_rows=len(train_all),
         pad_eval_batches=-(-max_eval_rows // batch_size),
     )
-    return _run_task_stream("p_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init)
+    return _run_task_stream("p_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init, resume=resume)
 
 
 def varying_m(
