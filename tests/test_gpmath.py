@@ -279,3 +279,30 @@ def test_tri_inv_matches_solve():
         )
         # lower-triangularity preserved
         assert np.allclose(np.triu(Linv, 1), 0.0, atol=1e-6)
+
+
+def test_ar_joint_posterior_fast_matches_fold():
+    """The closed-form block-LDL construction == the sequential fold."""
+    rng = np.random.default_rng(9)
+    sizes = [4, 3, 5]
+    Z = rng.standard_normal((sum(sizes), 2)).astype(np.float32)
+    sq = ((Z[:, None] - Z[None, :]) ** 2).sum(-1)
+    K = np.exp(-0.5 * sq).astype(np.float32)
+    u_means = [rng.standard_normal((s, 1)).astype(np.float32) for s in sizes]
+    u_trils = [
+        np.linalg.cholesky(rand_spd(rng, n=s)).astype(np.float32) for s in sizes
+    ]
+    L = gpmath.cholesky(jnp.asarray(K))
+    Li = gpmath.tri_inv(L)
+    ref = gpmath.ar_joint_posterior(
+        L, [jnp.asarray(u) for u in u_means], [jnp.asarray(t) for t in u_trils]
+    )
+    fast = gpmath.ar_joint_posterior_fast(
+        L, Li, [jnp.asarray(u) for u in u_means], [jnp.asarray(t) for t in u_trils]
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.mean), np.asarray(ref.mean), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(fast.LS), np.asarray(ref.LS), rtol=1e-3, atol=1e-4
+    )

@@ -35,6 +35,7 @@ from vargp_tpu.gpmath.conditional import (
     linear_joint,
     linear_marginal_diag,
     ar_joint_posterior,
+    ar_joint_posterior_fast,
     whitened_marginal_diag,
 )
 
@@ -58,5 +59,6 @@ __all__ = [
     "linear_joint",
     "linear_marginal_diag",
     "ar_joint_posterior",
+    "ar_joint_posterior_fast",
     "whitened_marginal_diag",
 ]

@@ -179,6 +179,54 @@ def ar_joint_posterior(
     return ARPosterior(mean=mean, LS=LS)
 
 
+def ar_joint_posterior_fast(
+    L_full: jax.Array,
+    L_inv: jax.Array,
+    u_means: Sequence[jax.Array],
+    u_trils: Sequence[jax.Array],
+) -> ARPosterior:
+    """Closed-form AR joint posterior — no sequential task joins.
+
+    Identity: the block-LDL factor of K is G = L . blockdiag(L_tt)^{-1}
+    (unit-block-lower; its rows are the regression coefficients of each
+    task block on its prefix), and the AR recursion's propagation matrix
+    IS G.  Hence
+
+        mean = G b              = L . (blockdiag(inv(L_tt)) b)
+        LS   = G blockdiag(Vt)  = L . blockdiag(inv(L_tt) u_tril_t)
+
+    where inv(L_tt) are the diagonal M-blocks of L^{-1} (block-triangular
+    inverse property).  Two matmuls replace the T-step fold of
+    ``ar_joint_posterior`` — exact same result (tested), far better TPU
+    critical path.
+    """
+    sizes = [u.shape[-2] for u in u_means]
+    batch = jnp.broadcast_shapes(
+        L_full.shape[:-2], *[u.shape[:-2] for u in u_means]
+    )
+    S = sum(sizes)
+    dtype = L_full.dtype
+
+    v = jnp.zeros((*batch, S, 1), dtype)
+    Wbd = jnp.zeros((*batch, S, S), dtype)
+    c = 0
+    for um, ut, m in zip(u_means, u_trils, sizes):
+        Dinv = L_inv[..., c : c + m, c : c + m]
+        v = v.at[..., c : c + m, :].set(
+            jnp.einsum("...ij,...jk->...ik", Dinv, jnp.broadcast_to(
+                um, (*batch, m, 1)), precision=_HIGHEST)
+        )
+        Wbd = Wbd.at[..., c : c + m, c : c + m].set(
+            jnp.einsum("...ij,...jk->...ik", Dinv, jnp.broadcast_to(
+                ut, (*batch, m, m)), precision=_HIGHEST)
+        )
+        c += m
+
+    mean = jnp.einsum("...ij,...jk->...ik", L_full, v, precision=_HIGHEST)
+    LS = jnp.einsum("...ij,...jk->...ik", L_full, Wbd, precision=_HIGHEST)
+    return ARPosterior(mean=mean, LS=LS)
+
+
 def whitened_marginal_diag(
     L: jax.Array,
     mean: jax.Array,

@@ -177,7 +177,11 @@ def forward(
         L = gpmath.cholesky(Kzz, cfg.jitter)
         L_inv = None
 
-    post = gpmath.ar_joint_posterior(L, u_means, u_trils, L_inv=L_inv)
+    if L_inv is not None:
+        # closed-form block-LDL construction: two matmuls, no task fold
+        post = gpmath.ar_joint_posterior_fast(L, L_inv, u_means, u_trils)
+    else:
+        post = gpmath.ar_joint_posterior(L, u_means, u_trils)
 
     xb = jnp.broadcast_to(x[None], (cfg.out_size, *x.shape))
     Kzx = gram_(theta, z_all, xb)  # (H, O, SM, B)
