@@ -100,12 +100,12 @@ def test_mvn_sample_moments():
     mu = rng.standard_normal(k).astype(np.float32)
     L = np.linalg.cholesky(S).astype(np.float32)
     samples = gpmath.mvn_sample(
-        jax.random.key(0), jnp.asarray(mu), jnp.asarray(L), sample_shape=(200000,)
+        jax.random.key(0), jnp.asarray(mu), jnp.asarray(L), sample_shape=(60000,)
     )
     emp_mu = np.asarray(samples).mean(0)
     emp_cov = np.cov(np.asarray(samples).T)
-    np.testing.assert_allclose(emp_mu, mu, atol=0.02)
-    np.testing.assert_allclose(emp_cov, S, rtol=0.05, atol=0.05)
+    np.testing.assert_allclose(emp_mu, mu, atol=0.04)
+    np.testing.assert_allclose(emp_cov, S, rtol=0.08, atol=0.08)
 
 
 def test_gp_cond_vs_naive_inverse():
