@@ -116,6 +116,40 @@ def summarize(acc: np.ndarray, ent: np.ndarray) -> dict:
     )
 
 
+def analyze_pmnist(
+    log_dir: str,
+    data_dir=None,
+    n_tasks: int = 10,
+    M: int = 100,
+    seed: int = 42,
+    out_json: str | None = None,
+):
+    """End-to-end Permuted-MNIST analysis: T x T accuracy/entropy matrices
+    over the per-permutation test splits (seed must match the training run
+    so the permutations agree)."""
+    cfg = V.VARGPConfig(M=M, out_size=10, in_size=784)
+    key = jax.random.key(0)
+    z = jnp.zeros((cfg.out_size, cfg.M, cfg.in_size))
+    example, _ = V.init_params(key, z, cfg)
+    chain = load_task_chain(log_dir, n_tasks, example)
+
+    rng = np.random.default_rng(seed)
+    # replicate the driver's RNG consumption order (split before perms)
+    train_full = data.load_mnist(data_dir, train=True)
+    data.split_train_val(train_full, 10000, rng)
+    perms = data.make_permutations(n_tasks, 784, rng)
+    test_full = data.load_mnist(data_dir, train=False)
+    test_sets = [data.apply_permutation(test_full, p) for p in perms]
+
+    acc, ent = accuracy_entropy_matrices(chain, cfg, test_sets)
+    summary = summarize(acc, ent)
+    out_json = out_json or os.path.join(log_dir, "analysis.json")
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps({k: v for k, v in summary.items() if "matrix" not in k}))
+    return summary
+
+
 def analyze_smnist(
     log_dir: str,
     data_dir=None,

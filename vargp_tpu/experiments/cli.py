@@ -35,6 +35,7 @@ def _commands():
         "toy_retrain": retrain_run.toy,
         # reference: notebooks (analysis protocol as code)
         "analyze_smnist": analysis.analyze_smnist,
+        "analyze_pmnist": analysis.analyze_pmnist,
         # reference: experiments/wandb_utils.py sweep generator
         "gen_sweep": sweep.generate_vargp_sweep,
         "run_sweep": sweep.run_sweep,

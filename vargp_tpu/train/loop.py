@@ -65,9 +65,11 @@ def make_update_fn(cfg: V.VARGPConfig, tx, beta: float, n_train: int):
     program serves the whole task."""
 
     @partial(jax.jit, donate_argnums=(0, 1))
-    def update(params, opt_state, prev, prior, x, y, w, key):
+    def update(params, opt_state, prev, prior, x, y, w, key, chain_mask=None):
         def total_loss(p):
-            klh, klu, nll = V.loss(p, prev, prior, x, y, key, cfg, weights=w)
+            klh, klu, nll = V.loss(
+                p, prev, prior, x, y, key, cfg, weights=w, chain_mask=chain_mask
+            )
             scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
             return beta * klh + klu + scale * nll, (klh, klu, nll)
 
@@ -399,6 +401,7 @@ def train_task(
                 params, opt_state, loss_val, aux = update(
                     params, opt_state, prev, prior,
                     jnp.asarray(b.x), jnp.asarray(b.y), jnp.asarray(b.w), k_step,
+                    chain_mask,
                 )
                 steps += 1
 
@@ -413,6 +416,11 @@ def train_task(
 
                 def pf(x, _k=k_ev):
                     return predict(params, prev, jnp.asarray(x), _k)
+
+                if hp.pad_tasks_to is not None:
+                    raise NotImplementedError(
+                        "padded-chain mode requires scan_epoch=True"
+                    )
 
                 train_acc = compute_accuracy(train_set, pf, hp.batch_size)
                 val_acc = compute_accuracy(val_set, pf, hp.batch_size)
