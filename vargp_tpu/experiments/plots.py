@@ -6,8 +6,6 @@ normalized-entropy matrices, accuracy-vs-M).  matplotlib is imported
 lazily so headless/metric-only runs don't need it.
 """
 
-import os
-
 import numpy as np
 
 

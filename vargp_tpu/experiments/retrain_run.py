@@ -3,7 +3,6 @@ in the reference; T>2 is handled here, resolving the reference's TODO at
 vargp_retrain.py:251)."""
 
 import os
-import time
 
 import jax
 import jax.numpy as jnp

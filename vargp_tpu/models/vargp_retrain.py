@@ -27,7 +27,7 @@ from vargp_tpu.kernels import (
     sample_hypers,
 )
 from vargp_tpu.likelihoods import softmax_loss, softmax_predict
-from vargp_tpu.models.vargp import TaskPosterior, select_inducing
+from vargp_tpu.models.vargp import TaskPosterior
 
 
 class TaskRaw(NamedTuple):

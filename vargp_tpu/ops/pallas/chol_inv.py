@@ -16,8 +16,6 @@ Backward (custom VJP) is pure matmul algebra using the saved (L, L^{-1}):
 no triangular solves anywhere in forward or backward.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

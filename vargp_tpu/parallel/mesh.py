@@ -7,8 +7,6 @@ Sharding policy (see package docstring):
   - data batches: leading (batch) axis over "data"
 """
 
-import math
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

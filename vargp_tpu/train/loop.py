@@ -20,7 +20,6 @@ import numpy as np
 import optax
 
 from vargp_tpu.data.core import ArrayDataset, batch_iter
-from vargp_tpu.kernels import RBFPrior
 from vargp_tpu.models import vargp as V
 from vargp_tpu.train.metrics import compute_accuracy
 from vargp_tpu.train.stopper import EarlyStopper
