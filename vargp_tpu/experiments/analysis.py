@@ -52,18 +52,22 @@ def accuracy_entropy_matrices(
 
     cfg_eval = replace(cfg, n_f=n_f, n_var_samples=n_var_samples)
 
+    # padded-chain evaluation: every prefix evaluates through ONE compiled
+    # predictor (chain length as a traced mask, not a shape)
     @jax.jit
-    def _predict(params, prev, x, k):
-        return V.predict(params, prev, x, k, cfg_eval)
+    def _predict(params, prev, mask, x, k):
+        return V.predict(params, prev, x, k, cfg_eval, chain_mask=mask)
 
     for t in range(T):
-        prev = tuple(V.freeze_task(p) for p in chain[:t])
+        prev, mask = V.pad_chain(
+            tuple(V.freeze_task(p) for p in chain[:t]), cfg, t_max=T
+        )
         params = chain[t]
         for s, test_set in enumerate(test_sets):
             key, k = jax.random.split(key)
             a, e = compute_acc_ent(
                 test_set,
-                lambda x: _predict(params, prev, jnp.asarray(x), k),
+                lambda x: _predict(params, prev, mask, jnp.asarray(x), k),
                 batch_size=batch_size,
             )
             acc[t, s] = a
@@ -123,6 +127,8 @@ def analyze_pmnist(
     M: int = 100,
     seed: int = 42,
     out_json: str | None = None,
+    n_f: int = 50,
+    n_var_samples: int = 20,
 ):
     """End-to-end Permuted-MNIST analysis: T x T accuracy/entropy matrices
     over the per-permutation test splits (seed must match the training run
@@ -141,7 +147,9 @@ def analyze_pmnist(
     test_full = data.load_mnist(data_dir, train=False)
     test_sets = [data.apply_permutation(test_full, p) for p in perms]
 
-    acc, ent = accuracy_entropy_matrices(chain, cfg, test_sets)
+    acc, ent = accuracy_entropy_matrices(
+        chain, cfg, test_sets, n_f=n_f, n_var_samples=n_var_samples
+    )
     summary = summarize(acc, ent)
     out_json = out_json or os.path.join(log_dir, "analysis.json")
     with open(out_json, "w") as f:
