@@ -23,7 +23,11 @@ def test_seed_everything_deterministic():
     k1, s1 = seed_everything(123)
     k2, s2 = seed_everything(123)
     assert s1 == s2 == 123
-    np.testing.assert_array_equal(np.asarray(k1), np.asarray(k2))
+    import jax
+
+    np.testing.assert_array_equal(
+        np.asarray(jax.random.key_data(k1)), np.asarray(jax.random.key_data(k2))
+    )
     k3, s3 = seed_everything(None)
     assert isinstance(s3, int)
 
