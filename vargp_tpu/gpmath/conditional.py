@@ -205,25 +205,34 @@ def ar_joint_posterior_fast(
         L_full.shape[:-2], *[u.shape[:-2] for u in u_means]
     )
     S = sum(sizes)
-    dtype = L_full.dtype
+    T = len(sizes)
+    M = sizes[0]
 
-    v = jnp.zeros((*batch, S, 1), dtype)
-    Wbd = jnp.zeros((*batch, S, S), dtype)
-    c = 0
-    for um, ut, m in zip(u_means, u_trils, sizes):
-        Dinv = L_inv[..., c : c + m, c : c + m]
-        v = v.at[..., c : c + m, :].set(
-            jnp.einsum("...ij,...jk->...ik", Dinv, jnp.broadcast_to(
-                um, (*batch, m, 1)), precision=_HIGHEST)
-        )
-        Wbd = Wbd.at[..., c : c + m, c : c + m].set(
-            jnp.einsum("...ij,...jk->...ik", Dinv, jnp.broadcast_to(
-                ut, (*batch, m, m)), precision=_HIGHEST)
-        )
-        c += m
+    if any(m != M for m in sizes):
+        # unequal block sizes (e.g. grown global chains): generic fold
+        return ar_joint_posterior(L_full, u_means, u_trils, L_inv=L_inv)
 
-    mean = jnp.einsum("...ij,...jk->...ik", L_full, v, precision=_HIGHEST)
-    LS = jnp.einsum("...ij,...jk->...ik", L_full, Wbd, precision=_HIGHEST)
+    # stacked per-task quantities, block axis leading: (T, *batch, M, .)
+    um = jnp.stack([jnp.broadcast_to(u, (*batch, M, 1)) for u in u_means])
+    ut = jnp.stack([jnp.broadcast_to(u, (*batch, M, M)) for u in u_trils])
+    Lb_full = jnp.broadcast_to(L_full, (*batch, S, S))
+    Li_full = jnp.broadcast_to(L_inv, (*batch, S, S))
+
+    # diagonal M-blocks of L^{-1}: (T, *batch, M, M)
+    Li_r = Li_full.reshape(*batch, T, M, T, M)
+    tt = jnp.arange(T)
+    Dinv = Li_r[..., tt, :, tt, :]  # advanced indexing -> (T, *batch, M, M)
+
+    w = jnp.einsum("t...ij,t...jk->t...ik", Dinv, ut, precision=_HIGHEST)
+    v = jnp.einsum("t...ij,t...jk->t...ik", Dinv, um, precision=_HIGHEST)
+
+    # column blocks of L: (T, *batch, S, M)
+    Lb = jnp.moveaxis(Lb_full.reshape(*batch, S, T, M), -2, 0)
+
+    # LS block-columns and the summed mean, all in one batched matmul each
+    LS_blocks = jnp.einsum("t...sm,t...mk->t...sk", Lb, w, precision=_HIGHEST)
+    LS = jnp.moveaxis(LS_blocks, 0, -2).reshape(*batch, S, S)
+    mean = jnp.einsum("t...sm,t...mk->...sk", Lb, v, precision=_HIGHEST)
     return ARPosterior(mean=mean, LS=LS)
 
 

@@ -177,11 +177,13 @@ def forward(
         L = gpmath.cholesky(Kzz, cfg.jitter)
         L_inv = None
 
-    if L_inv is not None:
-        # closed-form block-LDL construction: two matmuls, no task fold
+    if L_inv is not None and z_all.shape[-2] >= 768:
+        # closed-form block-LDL construction (batched matmuls, no task
+        # fold) — wins at large chain sizes; the unrolled fold's smaller
+        # sequential joins win below ~768 total inducing rows (measured)
         post = gpmath.ar_joint_posterior_fast(L, L_inv, u_means, u_trils)
     else:
-        post = gpmath.ar_joint_posterior(L, u_means, u_trils)
+        post = gpmath.ar_joint_posterior(L, u_means, u_trils, L_inv=L_inv)
 
     xb = jnp.broadcast_to(x[None], (cfg.out_size, *x.shape))
     Kzx = gram_(theta, z_all, xb)  # (H, O, SM, B)
