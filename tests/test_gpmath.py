@@ -306,3 +306,20 @@ def test_ar_joint_posterior_fast_matches_fold():
     np.testing.assert_allclose(
         np.asarray(fast.LS), np.asarray(ref.LS), rtol=1e-3, atol=1e-4
     )
+
+
+def test_chol_and_inv_blocked_matches_monolithic():
+    rng = np.random.default_rng(11)
+    from vargp_tpu.gpmath.linalg import chol_and_inv_blocked
+
+    for T, m in ((1, 7), (3, 5), (5, 4)):
+        S = T * m
+        K = rand_spd(rng, 2, n=S)
+        L, Linv = chol_and_inv_blocked(jnp.asarray(K), m)
+        expect = np.linalg.cholesky(K)
+        np.testing.assert_allclose(np.asarray(L), expect, rtol=2e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(Linv) @ expect,
+            np.broadcast_to(np.eye(S, dtype=np.float32), (2, S, S)),
+            atol=5e-3,
+        )

@@ -81,6 +81,51 @@ def _tri_inv_newton(L: jax.Array) -> jax.Array:
     return X
 
 
+def chol_and_inv_blocked(K: jax.Array, block_m: int):
+    """Joint blocked Cholesky + triangular inverse exploiting a known block
+    size (e.g. per-task inducing blocks of the AR chain).
+
+    XLA's monolithic Cholesky custom-call pays per-128-panel latency; when
+    the natural block size is known, T small batched Cholesky calls plus
+    MXU matmuls (column solve via Newton-inverted diagonal blocks, trailing
+    syrk, and the standard block inverse assembly) beat it on the TPU
+    critical path.  Returns (L, L^{-1}).
+    """
+    S = K.shape[-1]
+    assert S % block_m == 0, (S, block_m)
+    T = S // block_m
+    if T == 1:
+        L = jnp.linalg.cholesky(K)
+        return L, _tri_inv_newton(L)
+
+    mm = lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b, precision=_HIGHEST)
+    mmT = lambda a, b: jnp.einsum("...ij,...kj->...ik", a, b, precision=_HIGHEST)
+
+    L = jnp.zeros_like(K)
+    A = K
+    dinvs = []
+    for t in range(T):
+        r0, r1 = t * block_m, (t + 1) * block_m
+        Ld = jnp.linalg.cholesky(A[..., r0:r1, r0:r1])
+        Dinv = _tri_inv_newton(Ld)
+        dinvs.append(Dinv)
+        L = L.at[..., r0:r1, r0:r1].set(Ld)
+        if t + 1 < T:
+            C = A[..., r1:, r0:r1]
+            Lcol = mmT(C, Dinv)  # C Ld^{-T}
+            L = L.at[..., r1:, r0:r1].set(Lcol)
+            A = A.at[..., r1:, r1:].add(-mmT(Lcol, Lcol))
+
+    X = jnp.zeros_like(K)
+    X = X.at[..., :block_m, :block_m].set(dinvs[0])
+    for t in range(1, T):
+        r0, r1 = t * block_m, (t + 1) * block_m
+        row = -mm(dinvs[t], mm(L[..., r0:r1, :r0], X[..., :r0, :r0]))
+        X = X.at[..., r0:r1, :r0].set(row)
+        X = X.at[..., r0:r1, r0:r1].set(dinvs[t])
+    return L, X
+
+
 def tri_inv(L: jax.Array, block: int = _TRI_INV_BLOCK) -> jax.Array:
     """Explicit inverse of a batched lower-triangular matrix.
 

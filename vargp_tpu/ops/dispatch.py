@@ -6,6 +6,7 @@ trace time (backend is a host-side global), so the chosen implementation is
 baked into each jitted program.
 """
 
+import functools
 import os
 
 import jax
@@ -81,8 +82,14 @@ def rbf_gram(sx: jax.Array, sy: jax.Array, gamma2: jax.Array) -> jax.Array:
     return _rbf_gram_xla(sx, sy, gamma2)
 
 
-@jax.custom_vjp
-def chol_and_inv(K: jax.Array):
+def chol_and_inv(K: jax.Array, block_m: int | None = None):
+    """(chol(K), chol(K)^{-1}); thin reordering wrapper — custom_vjp wants
+    its nondiff (static) argument first."""
+    return _chol_and_inv_p(block_m, K)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _chol_and_inv_p(block_m: int | None, K: jax.Array):
     """(chol(K), chol(K)^{-1}) — the model hot path's only factorization.
 
     Forward: XLA batched Cholesky + Newton-Schulz blocked triangular
@@ -94,11 +101,16 @@ def chol_and_inv(K: jax.Array):
     Backward: hand-derived all-matmul rule using the saved (L, L^{-1}) —
     the default cholesky VJP would reintroduce triangular-solve
     custom-calls on the TPU critical path.
+
+    ``block_m``: known natural block size (per-task inducing count) —
+    routes to the task-blocked factorization (T small batched Cholesky
+    calls + MXU matmuls) which beats the monolithic custom-call's
+    per-panel latency.
     """
-    return _chol_and_inv_impl(K)
+    return _chol_and_inv_impl(K, block_m)
 
 
-def _chol_and_inv_impl(K):
+def _chol_and_inv_impl(K, block_m=None):
     if os.environ.get("VARGP_TPU_CHOLINV") == "pallas":
         try:
             from vargp_tpu.ops.pallas.chol_inv import _chol_inv_call
@@ -106,18 +118,20 @@ def _chol_and_inv_impl(K):
             return _chol_inv_call(K)
         except ImportError:
             pass
-    from vargp_tpu.gpmath.linalg import tri_inv
+    from vargp_tpu.gpmath.linalg import chol_and_inv_blocked, tri_inv
 
+    if block_m is not None and K.shape[-1] % block_m == 0:
+        return chol_and_inv_blocked(K, block_m)
     L = jnp.linalg.cholesky(K)
     return L, tri_inv(L)
 
 
-def _chol_and_inv_fwd(K):
-    L, Linv = _chol_and_inv_impl(K)
+def _chol_and_inv_fwd(block_m, K):
+    L, Linv = _chol_and_inv_impl(K, block_m)
     return (L, Linv), (L, Linv)
 
 
-def _chol_and_inv_bwd(res, cots):
+def _chol_and_inv_bwd(block_m, res, cots):
     L, Linv = res
     GL, Ginv = cots
     tril = jnp.tril(jnp.ones(L.shape[-2:], L.dtype))
@@ -140,7 +154,7 @@ def _chol_and_inv_bwd(res, cots):
     return (Kbar,)
 
 
-chol_and_inv.defvjp(_chol_and_inv_fwd, _chol_and_inv_bwd)
+_chol_and_inv_p.defvjp(_chol_and_inv_fwd, _chol_and_inv_bwd)
 
 
 def batched_cholesky(K: jax.Array) -> jax.Array:
