@@ -68,3 +68,10 @@ def test_toy_driver_resume(tmp_path):
         jax.tree_util.tree_leaves(chain1[0]), jax.tree_util.tree_leaves(chain2[0])
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+
+def test_regression_driver(tmp_path):
+    from vargp_tpu.experiments.regression import regression
+
+    _, rmse = regression(epochs=300, M=16, seed=0, log_dir=str(tmp_path))
+    assert rmse < 0.3, rmse

@@ -16,6 +16,7 @@ def _commands():
     from vargp_tpu.experiments import (
         analysis,
         global_run,
+        regression,
         retrain_run,
         sweep,
         vargp_run,
@@ -33,6 +34,8 @@ def _commands():
         "p_mnist_global": global_run.permuted_mnist,
         # reference: experiments/vargp_retrain.py
         "toy_retrain": retrain_run.toy,
+        # Gaussian-likelihood regression (unused-in-reference capability)
+        "regression": regression.regression,
         # reference: notebooks (analysis protocol as code)
         "analyze_smnist": analysis.analyze_smnist,
         "analyze_pmnist": analysis.analyze_pmnist,
