@@ -83,7 +83,8 @@ def _split_theta(theta: jax.Array, n_batch_dims: int):
     return sigma, gamma2
 
 
-def gram(theta: jax.Array, x: jax.Array, y: jax.Array | None = None) -> jax.Array:
+def gram(theta: jax.Array, x: jax.Array, y: jax.Array | None = None,
+         precision: str = "highest") -> jax.Array:
     """Batched RBF Gram matrix (kernels.py:24-56).
 
     Arguments:
@@ -97,7 +98,7 @@ def gram(theta: jax.Array, x: jax.Array, y: jax.Array | None = None) -> jax.Arra
     sigma, gamma2 = _split_theta(theta, n_batch - 1)
     sx = x[None] / sigma[..., None, :]
     sy = sx if y is None else y[None] / sigma[..., None, :]
-    return rbf_gram(sx, sy, gamma2[..., None])
+    return rbf_gram(sx, sy, gamma2[..., None], precision=precision)
 
 
 def gram_diag(theta: jax.Array) -> jax.Array:

@@ -67,19 +67,32 @@ def sq_dist(sx: jax.Array, sy: jax.Array) -> jax.Array:
     return _sq_dist_xla(sx, sy)
 
 
-def rbf_gram(sx: jax.Array, sy: jax.Array, gamma2: jax.Array) -> jax.Array:
+def rbf_gram(sx: jax.Array, sy: jax.Array, gamma2: jax.Array,
+             precision: str = "highest") -> jax.Array:
     """Fused RBF Gram matrix on pre-scaled inputs.
 
     sx: ... x M x D;  sy: ... x N x D;  gamma2: broadcastable to ... x M x N.
+    precision: "highest" (f32, required for factorized Grams — bf16-family
+    error can defeat the PSD jitter) or "high" (bf16x3, ~2x faster, fine
+    for cross-Grams that are never factorized).
     """
-    if get_backend() == "pallas":
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.HIGH
+    )
+    # Mosaic only lowers DEFAULT/HIGHEST dot precisions; HIGH (bf16x3) Grams
+    # go through XLA, whose fusion of the scale+dot+exp chain is fine.
+    if get_backend() == "pallas" and precision == "highest":
         try:
             from vargp_tpu.ops.pallas.rbf_gram import rbf_gram_pallas
 
-            return rbf_gram_pallas(sx, sy, gamma2)
+            return rbf_gram_pallas(sx, sy, gamma2, prec)
         except ImportError:
             pass
-    return _rbf_gram_xla(sx, sy, gamma2)
+    xx = jnp.sum(jnp.square(sx), axis=-1)
+    yy = jnp.sum(jnp.square(sy), axis=-1)
+    xy = jnp.einsum("...md,...nd->...mn", sx, sy, precision=prec)
+    d2 = jnp.maximum(xx[..., :, None] - 2.0 * xy + yy[..., None, :], 0.0)
+    return gamma2 * jnp.exp(-0.5 * d2)
 
 
 def chol_and_inv(K: jax.Array, block_m: int | None = None):

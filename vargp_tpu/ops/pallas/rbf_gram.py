@@ -24,25 +24,28 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _gram_kernel(sx_ref, sy_ref, g2_ref, out_ref):
-    """One (TILE_M, TILE_N) block of one batch element's Gram matrix."""
-    sx = sx_ref[0]  # (TILE_M, D)
-    sy = sy_ref[0]  # (TILE_N, D)
-    xx = jnp.sum(jnp.square(sx), axis=-1)[:, None]  # (TILE_M, 1)
-    yy = jnp.sum(jnp.square(sy), axis=-1)[None, :]  # (1, TILE_N)
-    xy = jax.lax.dot_general(
-        sx,
-        sy,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    d2 = jnp.maximum(xx - 2.0 * xy + yy, 0.0)
-    out_ref[0] = g2_ref[pl.program_id(0), 0] * jnp.exp(-0.5 * d2)
+def _make_gram_kernel(precision):
+    def _gram_kernel(sx_ref, sy_ref, g2_ref, out_ref):
+        """One (TILE_M, TILE_N) block of one batch element's Gram matrix."""
+        sx = sx_ref[0]  # (TILE_M, D)
+        sy = sy_ref[0]  # (TILE_N, D)
+        xx = jnp.sum(jnp.square(sx), axis=-1)[:, None]  # (TILE_M, 1)
+        yy = jnp.sum(jnp.square(sy), axis=-1)[None, :]  # (1, TILE_N)
+        xy = jax.lax.dot_general(
+            sx,
+            sy,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        d2 = jnp.maximum(xx - 2.0 * xy + yy, 0.0)
+        out_ref[0] = g2_ref[pl.program_id(0), 0] * jnp.exp(-0.5 * d2)
+    return _gram_kernel
 
 
-@functools.partial(jax.jit, static_argnames=())
-def _gram_3d(sx: jax.Array, sy: jax.Array, gamma2: jax.Array) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _gram_3d(sx: jax.Array, sy: jax.Array, gamma2: jax.Array,
+             precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """sx: (G, M, D), sy: (G, N, D), gamma2: (G,) -> (G, M, N)."""
     G, M, D = sx.shape
     N = sy.shape[1]
@@ -56,7 +59,7 @@ def _gram_3d(sx: jax.Array, sy: jax.Array, gamma2: jax.Array) -> jax.Array:
 
     grid = (G, Mp // TILE_M, Np // TILE_N)
     out = pl.pallas_call(
-        _gram_kernel,
+        _make_gram_kernel(precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -80,8 +83,9 @@ def _gram_3d(sx: jax.Array, sy: jax.Array, gamma2: jax.Array) -> jax.Array:
     return out[:, :M, :N]
 
 
-@jax.custom_vjp
-def rbf_gram_pallas(sx: jax.Array, sy: jax.Array, gamma2: jax.Array) -> jax.Array:
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def rbf_gram_pallas(sx: jax.Array, sy: jax.Array, gamma2: jax.Array,
+                    precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Dispatch-compatible entry: arbitrary leading batch dims.
 
     sx: ... x M x D;  sy: ... x N x D;  gamma2 broadcastable to ... x M x N
@@ -101,12 +105,12 @@ def rbf_gram_pallas(sx: jax.Array, sy: jax.Array, gamma2: jax.Array) -> jax.Arra
     # gamma2 is constant within a Gram block in all call sites
     g2_b = jnp.broadcast_to(gamma2[..., :1, :1], (*batch, 1, 1)).reshape(-1)
 
-    out = _gram_3d(sx_b, sy_b, g2_b.astype(jnp.float32))
+    out = _gram_3d(sx_b, sy_b, g2_b.astype(jnp.float32), precision=precision)
     return out.reshape(*batch, M, N)
 
 
-def _rbf_gram_fwd(sx, sy, gamma2):
-    K = rbf_gram_pallas(sx, sy, gamma2)
+def _rbf_gram_fwd(sx, sy, gamma2, precision=jax.lax.Precision.HIGHEST):
+    K = rbf_gram_pallas(sx, sy, gamma2, precision)
     return K, (sx, sy, gamma2, K)
 
 
@@ -121,7 +125,7 @@ def _sum_to_shape(x, shape):
     return x
 
 
-def _rbf_gram_bwd(res, g):
+def _rbf_gram_bwd(precision, res, g):
     sx, sy, gamma2, K = res
     W = g * K  # ... x M x N
     row = jnp.sum(W, axis=-1)  # ... x M
