@@ -42,32 +42,34 @@ def main():
     from vargp_tpu.train.loop import (
         TrainHyperparams,
         make_optimizer,
-        make_scan_update_fn,
+        make_device_train_fn,
     )
 
     cfg, params, prev, prior, x, y, w, key = g._flagship()
     hp = TrainHyperparams(lr=3e-3, beta=10.0)
     tx = make_optimizer(hp)
     opt_state = tx.init(params)
-    # production path: one scanned device program over the epoch's batches
-    update_epoch = make_scan_update_fn(cfg, tx, hp.beta, n_train=50000)
-
-    xs = jnp.broadcast_to(x, (N_STEPS, *x.shape))
-    ys = jnp.broadcast_to(y, (N_STEPS, *y.shape))
-    ws = jnp.broadcast_to(w, (N_STEPS, *w.shape))
+    # THE production path: device-resident dataset, on-device shuffle +
+    # batch + N_STEPS updates in one compiled program (train_task uses the
+    # same builder between evals)
+    run_block = make_device_train_fn(
+        cfg, tx, hp.beta, batch_size=x.shape[0], n_epochs=N_STEPS
+    )
+    chain_mask = jnp.ones((len(prev),), jnp.float32)
+    n_train = jnp.asarray(50000.0)
 
     key2 = jax.random.fold_in(key, 1)  # pre-built: keep host compiles out of
     key2.block_until_ready()  # the timed section
 
     # compile + warmup
-    params, opt_state, loss_val, _ = update_epoch(
-        params, opt_state, prev, prior, xs, ys, ws, key
+    params, opt_state, loss_val, _ = run_block(
+        params, opt_state, prev, prior, chain_mask, n_train, x, y, w, key
     )
     float(loss_val)  # hard sync
 
     t0 = time.time()
-    params, opt_state, loss_val, _ = update_epoch(
-        params, opt_state, prev, prior, xs, ys, ws, key2
+    params, opt_state, loss_val, _ = run_block(
+        params, opt_state, prev, prior, chain_mask, n_train, x, y, w, key2
     )
     final = float(loss_val)  # device_get forces the whole chain to finish
     dt = (time.time() - t0) / N_STEPS

@@ -85,6 +85,81 @@ def test_sharded_update_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+def test_sharded_padded_device_block_matches_single_device():
+    """The PRODUCTION path under a mesh: padded AR chain (chain_mask) +
+    on-device shuffle/batch/update block must equal the single-device run
+    bit-for-bit math (same keys, same permutations)."""
+    from vargp_tpu.train.loop import make_device_train_fn
+
+    params, prev, prior, cfg, x, y, w = tiny_problem(n_prev=1)
+    prev_padded, chain_mask = V.pad_chain(prev, cfg, t_max=3)
+    hp = TrainHyperparams(lr=1e-2)
+    key = jax.random.key(7)
+    B = x.shape[0]
+    data_x = jnp.concatenate([x, 2.0 * x])
+    data_y = jnp.concatenate([y, y])
+    data_w = jnp.concatenate([w, w])
+    n_train = jnp.asarray(float(2 * B))
+
+    # single-device baseline
+    tx = make_optimizer(hp)
+    run1 = make_device_train_fn(cfg, tx, beta=1.0, batch_size=B, n_epochs=2)
+    p1 = jax.tree_util.tree_map(jnp.copy, params)
+    o1 = tx.init(p1)
+    p1, o1, loss1, _ = run1(
+        p1, o1, prev_padded, prior, chain_mask, n_train,
+        data_x, data_y, data_w, key,
+    )
+
+    # sharded run on the 8-device mesh (4 data x 2 model)
+    mesh = parallel.make_mesh(8)
+    tx2 = make_optimizer(hp)
+    p2 = parallel.shard_params(jax.tree_util.tree_map(jnp.copy, params), mesh, cfg.out_size)
+    prev_s = parallel.shard_params(prev_padded, mesh, cfg.out_size)
+    o2 = parallel.shard_params(tx2.init(p2), mesh, cfg.out_size)
+    cm_s, prior_s, key_s, nt_s = parallel.replicate(
+        (chain_mask, prior, key, n_train), mesh
+    )
+    dx, dy, dw = parallel.replicate((data_x, data_y, data_w), mesh)
+    run2 = parallel.make_sharded_device_train_fn(
+        cfg, tx2, beta=1.0, batch_size=B, n_epochs=2, mesh=mesh
+    )
+    p2, o2, loss2, _ = run2(
+        p2, o2, prev_s, prior_s, cm_s, nt_s, dx, dy, dw, key_s
+    )
+
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-4)
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
+
+
+def test_sharded_eval_matches_single_device():
+    """Sharded scanned eval (shared-posterior path) == unsharded eval."""
+    from vargp_tpu.train.loop import TrainHyperparams, make_device_eval_fn
+
+    params, prev, prior, cfg, x, y, w = tiny_problem(n_prev=1)
+    prev_p, chain_mask = V.pad_chain(prev, cfg, t_max=3)
+    hp = TrainHyperparams()
+    key = jax.random.key(11)
+    xs = jnp.stack([x, 0.5 * x])
+    ys = jnp.stack([y, y])
+    ws = jnp.stack([w, w])
+
+    ev1 = make_device_eval_fn(cfg, hp)
+    c1, t1 = ev1(params, prev_p, chain_mask, xs, ys, ws, key)
+
+    mesh = parallel.make_mesh(8)
+    p2 = parallel.shard_params(params, mesh, cfg.out_size)
+    prev_s = parallel.shard_params(prev_p, mesh, cfg.out_size)
+    cm_s, key_s, xs_s, ys_s, ws_s = parallel.replicate(
+        (chain_mask, key, xs, ys, ws), mesh
+    )
+    ev2 = make_device_eval_fn(cfg, hp, mesh=mesh)
+    c2, t2 = ev2(p2, prev_s, cm_s, xs_s, ys_s, ws_s, key_s)
+    np.testing.assert_allclose(float(c1), float(c2), atol=1e-6)
+    np.testing.assert_allclose(float(t1), float(t2))
+
+
 def test_sharded_predict_matches_single_device():
     params, prev, prior, cfg, x, y, w = tiny_problem()
     key = jax.random.key(3)

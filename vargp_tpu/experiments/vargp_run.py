@@ -93,10 +93,13 @@ def toy(
         ep_var_mean=bool(ep_var_mean), map_est_hypers=bool(map_est_hypers),
         dkl=bool(dkl),
     )
+    # every task trains on len/n_classes*2 rows; pad to the larger of that
+    # and one batch so small --batch_size values still fit the dataset
+    task_rows = 2 * (len(toy_all) // 4)
     hp = TrainHyperparams(
         epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
         eval_interval=eval_interval, patience=-1,
-        pad_tasks_to=n_tasks, pad_data_rows=batch_size,
+        pad_tasks_to=n_tasks, pad_data_rows=max(batch_size, task_rows),
         pad_eval_batches=-(-len(toy_all) // batch_size),
     )
     return _run_task_stream("toy", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init, resume=resume)

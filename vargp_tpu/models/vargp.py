@@ -142,30 +142,38 @@ def _row_mask(chain_mask: jax.Array, M: int) -> jax.Array:
     )
 
 
-def forward(
+class ChainPosterior(NamedTuple):
+    """Cached x-independent state of one forward pass: the hyper-samples,
+    the full-chain Gram factorization, and the AR joint posterior
+    q(u_{<=t}|theta).  Building this is the (sum M)^3 part of the forward;
+    everything per-batch (cross-Gram + whitened marginal) is O(M^2 B).
+    Eval loops build it ONCE per dataset and reuse it across batches."""
+
+    theta: jax.Array  # (H, Dth+1)
+    L: jax.Array  # (H, O, SM, SM)
+    L_inv: jax.Array | None
+    mean: jax.Array  # (H, O, SM, 1) joint posterior mean
+    LS: jax.Array  # (H, O, SM, SM) joint posterior scale factor
+    z_all: jax.Array  # (O, SM, D)
+
+
+def build_posterior(
     params: VARGPParams,
     prev: Sequence[TaskPosterior],
-    prior: RBFPrior,
-    x: jax.Array,
     key: jax.Array,
     cfg: VARGPConfig,
     *,
-    with_kl: bool,
     chain_mask: jax.Array | None = None,
-) -> ForwardResult:
-    """One fused ELBO forward pass (parity: vargp.py:115-194).
-
-    x: (B, D).  Returns diag predictive moments per hyper-sample and, when
-    ``with_kl``, the two KL terms of the ELBO.  ``chain_mask`` activates
-    padded-chain mode (see ``pad_chain``): Gram rows of masked-out tasks
-    are zeroed with unit diagonal, which embeds the unpadded computation
-    exactly.
-    """
-    k_hyp, k_u = jax.random.split(key)
-    theta = sample_hypers(k_hyp, params.kernel, cfg.n_var_samples, map_est=cfg.map_est_hypers)
+    n_var_samples: int | None = None,
+) -> ChainPosterior:
+    """Sample theta and construct the AR joint posterior over the whole
+    inducing chain (parity: vargp.py:127 + compute_q, :35-88)."""
+    theta = sample_hypers(
+        key, params.kernel, n_var_samples or cfg.n_var_samples,
+        map_est=cfg.map_est_hypers,
+    )
     gram_ = _gram_fn(params, cfg)
-
-    z_all, u_means, u_trils, u_tril_t = _concat_chain(params, prev, cfg)
+    z_all, u_means, u_trils, _ = _concat_chain(params, prev, cfg)
 
     Kzz = gram_(theta, z_all)  # (H, O, SM, SM)
     if chain_mask is not None:
@@ -187,26 +195,67 @@ def forward(
     else:
         post = gpmath.ar_joint_posterior(L, u_means, u_trils, L_inv=L_inv)
 
+    return ChainPosterior(
+        theta=theta, L=L, L_inv=L_inv, mean=post.mean, LS=post.LS, z_all=z_all
+    )
+
+
+def marginal_diag(
+    cp: ChainPosterior,
+    params: VARGPParams,
+    x: jax.Array,
+    cfg: VARGPConfig,
+    *,
+    chain_mask: jax.Array | None = None,
+):
+    """Per-batch diagonal predictive marginal from a cached posterior
+    (parity: compute_pf_diag, vargp.py:90-113)."""
+    gram_ = _gram_fn(params, cfg)
     xb = jnp.broadcast_to(x[None], (cfg.out_size, *x.shape))
     # cross-Gram is never factorized: bf16x3 is accurate enough and ~2x
     # cheaper on the MXU than full f32
-    Kzx = gram_(theta, z_all, xb, precision="high")  # (H, O, SM, B)
+    Kzx = gram_(cp.theta, cp.z_all, xb, precision="high")  # (H, O, SM, B)
     if chain_mask is not None:
         Kzx = Kzx * _row_mask(chain_mask, cfg.M)[:, None]
-    kxx_diag = gram_diag(theta)  # (H, 1, 1)
-
-    f_mean, f_var = gpmath.whitened_marginal_diag(
-        L, post.mean, post.LS, Kzx, kxx_diag, L_inv=L_inv
+    kxx_diag = gram_diag(cp.theta)  # (H, 1, 1)
+    return gpmath.whitened_marginal_diag(
+        cp.L, cp.mean, cp.LS, Kzx, kxx_diag, L_inv=cp.L_inv
     )
+
+
+def forward(
+    params: VARGPParams,
+    prev: Sequence[TaskPosterior],
+    prior: RBFPrior,
+    x: jax.Array,
+    key: jax.Array,
+    cfg: VARGPConfig,
+    *,
+    with_kl: bool,
+    chain_mask: jax.Array | None = None,
+) -> ForwardResult:
+    """One fused ELBO forward pass (parity: vargp.py:115-194).
+
+    x: (B, D).  Returns diag predictive moments per hyper-sample and, when
+    ``with_kl``, the two KL terms of the ELBO.  ``chain_mask`` activates
+    padded-chain mode (see ``pad_chain``): Gram rows of masked-out tasks
+    are zeroed with unit diagonal, which embeds the unpadded computation
+    exactly.
+    """
+    k_hyp, k_u = jax.random.split(key)
+    cp = build_posterior(params, prev, k_hyp, cfg, chain_mask=chain_mask)
+    f_mean, f_var = marginal_diag(cp, params, x, cfg, chain_mask=chain_mask)
 
     if not with_kl:
         zero = jnp.zeros((), f_mean.dtype)
         return ForwardResult(f_mean, f_var, zero, zero)
 
+    L, L_inv, post = cp.L, cp.L_inv, cp
+    u_tril_t = gpmath.vec2tril(params.u_tril_vec, cfg.M)
     klh = kl_hypers(params.kernel, prior, map_est=cfg.map_est_hypers)
 
     if prev:
-        c = z_all.shape[-2] - cfg.M
+        c = cp.z_all.shape[-2] - cfg.M
         L11 = L[..., :c, :c]
         L21 = L[..., c:, :c]
         L22 = L[..., c:, c:]  # == chol of p(u_t | u_{<t}, theta) covariance

@@ -15,8 +15,13 @@ from vargp_tpu.parallel.mesh import (
     batch_shardings,
     shard_params,
     shard_batch,
+    replicate,
 )
-from vargp_tpu.parallel.train_step import make_sharded_update_fn, make_sharded_predict_fn
+from vargp_tpu.parallel.train_step import (
+    make_sharded_update_fn,
+    make_sharded_device_train_fn,
+    make_sharded_predict_fn,
+)
 
 __all__ = [
     "make_mesh",
@@ -24,6 +29,8 @@ __all__ = [
     "batch_shardings",
     "shard_params",
     "shard_batch",
+    "replicate",
     "make_sharded_update_fn",
+    "make_sharded_device_train_fn",
     "make_sharded_predict_fn",
 ]

@@ -72,3 +72,10 @@ def shard_batch(x, y, w, mesh: Mesh):
         jax.device_put(y, sy),
         jax.device_put(w, sw),
     )
+
+
+def replicate(tree, mesh: Mesh):
+    """Place every leaf fully replicated over the mesh (datasets, scalars,
+    PRNG keys — anything without a shardable leading axis)."""
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda leaf: jax.device_put(leaf, sh), tree)

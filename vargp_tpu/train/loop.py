@@ -49,6 +49,11 @@ class TrainHyperparams:
     # execution time (remote/tunneled TPUs kill very long dispatches) and
     # compile memory for large models
     max_steps_per_dispatch: int = 128
+    # reference semantics re-sample theta (and the AR posterior with it)
+    # for every eval batch (train_utils.py:24-28); default shares one
+    # posterior across the whole eval scan — same MC estimator, one
+    # Gram+Cholesky per dataset instead of per batch
+    eval_resample_per_batch: bool = False
 
 
 def make_optimizer(hp: TrainHyperparams) -> optax.GradientTransformation:
@@ -59,64 +64,43 @@ def make_optimizer(hp: TrainHyperparams) -> optax.GradientTransformation:
     raise ValueError(f"unknown optimizer {hp.optimizer!r}")
 
 
+def elbo_step(
+    params, opt_state, prev, prior, x, y, w, key, *,
+    cfg: V.VARGPConfig, tx, beta: float, n_train, chain_mask=None,
+):
+    """THE optimizer step: ELBO grad + optimizer update.
+
+    Single source of truth for the update math — every update builder
+    (per-batch, scanned device block, sharded) wraps this function, so the
+    sharded/padded variants cannot drift from the plain one.
+    Parity: experiments/vargp.py:34-37 (loss assembly + backward + step).
+    """
+
+    def total_loss(p):
+        klh, klu, nll = V.loss(
+            p, prev, prior, x, y, key, cfg, weights=w, chain_mask=chain_mask
+        )
+        scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
+        return beta * klh + klu + scale * nll, (klh, klu, nll)
+
+    (loss_val, aux), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss_val, aux
+
+
 def make_update_fn(cfg: V.VARGPConfig, tx, beta: float, n_train: int):
-    """Jitted ELBO step. prev/prior ride as pytree args so one compiled
-    program serves the whole task."""
+    """Jitted per-batch ELBO step. prev/prior ride as pytree args so one
+    compiled program serves the whole task."""
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def update(params, opt_state, prev, prior, x, y, w, key, chain_mask=None):
-        def total_loss(p):
-            klh, klu, nll = V.loss(
-                p, prev, prior, x, y, key, cfg, weights=w, chain_mask=chain_mask
-            )
-            scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
-            return beta * klh + klu + scale * nll, (klh, klu, nll)
-
-        (loss_val, aux), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss_val, aux
+        return elbo_step(
+            params, opt_state, prev, prior, x, y, w, key,
+            cfg=cfg, tx=tx, beta=beta, n_train=n_train, chain_mask=chain_mask,
+        )
 
     return update
-
-
-def make_scan_update_fn(cfg: V.VARGPConfig, tx, beta: float, n_train: int):
-    """Epoch-granular update: lax.scan over a stacked batch axis.
-
-    One device program per epoch instead of one per minibatch — on a
-    tunneled/remote TPU the per-dispatch host overhead (~10 ms) would
-    otherwise dominate the ~7 ms device step.  Math identical to
-    make_update_fn applied sequentially.
-    """
-
-    @partial(jax.jit, donate_argnums=(0, 1))
-    def update_epoch(params, opt_state, prev, prior, xs, ys, ws, key):
-        # xs: (K, B, D); ys: (K, B); ws: (K, B)
-        def step(carry, batch):
-            params, opt_state, i = carry
-            x, y, w = batch
-            k = jax.random.fold_in(key, i)
-
-            def total_loss(p):
-                klh, klu, nll = V.loss(p, prev, prior, x, y, k, cfg, weights=w)
-                scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
-                return beta * klh + klu + scale * nll, (klh, klu, nll)
-
-            (loss_val, aux), grads = jax.value_and_grad(total_loss, has_aux=True)(
-                params
-            )
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, opt_state, i + 1), (loss_val, aux)
-
-        (params, opt_state, _), (losses, auxs) = jax.lax.scan(
-            step, (params, opt_state, 0), (xs, ys, ws)
-        )
-        return params, opt_state, losses[-1], jax.tree_util.tree_map(
-            lambda a: a[-1], auxs
-        )
-
-    return update_epoch
 
 
 def stack_epoch(ds: ArrayDataset, batch_size: int, rng) -> tuple:
@@ -139,6 +123,7 @@ def make_device_train_fn(
     beta: float,
     batch_size: int,
     n_epochs: int,
+    mesh=None,
 ):
     """Fully on-device training block: the task dataset lives in HBM once;
     shuffling (jax.random.permutation), batching (dynamic row gather) and
@@ -147,7 +132,22 @@ def make_device_train_fn(
     This is the production path between evaluations: zero per-epoch host
     transfers and one dispatch per eval interval.  The dataset must be
     padded to a multiple of batch_size with zero-weight rows.
+
+    With ``mesh`` (a ("data","model") jax.sharding.Mesh) the same program
+    runs GSPMD-sharded: the dataset stays replicated (small — tens of MB),
+    each gathered minibatch is constrained to be batch-sharded over "data",
+    and params/moments keep their class-axis "model" sharding from their
+    input placement; XLA inserts the psum-style gradient reduction and the
+    class-axis all-gather at the softmax.
     """
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = (
+            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("data")),
+            NamedSharding(mesh, P("data")),
+        )
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def run(params, opt_state, prev, prior, chain_mask, n_train,
@@ -169,21 +169,16 @@ def make_device_train_fn(
             o = (s % steps_per_epoch) * batch_size
             idx = jax.lax.dynamic_slice(perms[e], (o,), (batch_size,))
             x, y, w = data_x[idx], data_y[idx], data_w[idx]
-            k = jax.random.fold_in(key, n_epochs + s)
-
-            def total_loss(p):
-                klh, klu, nll = V.loss(
-                    p, prev, prior, x, y, k, cfg, weights=w,
-                    chain_mask=chain_mask,
+            if mesh is not None:
+                x, y, w = jax.lax.with_sharding_constraint(
+                    (x, y, w), batch_sh
                 )
-                scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
-                return beta * klh + klu + scale * nll, (klh, klu, nll)
-
-            (loss_val, aux), grads = jax.value_and_grad(
-                total_loss, has_aux=True
-            )(params)
-            updates, opt_state = tx.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
+            k = jax.random.fold_in(key, n_epochs + s)
+            params, opt_state, loss_val, aux = elbo_step(
+                params, opt_state, prev, prior, x, y, w, k,
+                cfg=cfg, tx=tx, beta=beta, n_train=n_train,
+                chain_mask=chain_mask,
+            )
             return (params, opt_state), (loss_val, aux)
 
         (params, opt_state), (losses, auxs) = jax.lax.scan(
@@ -213,23 +208,61 @@ def pad_dataset_to_device(ds: ArrayDataset, batch_size: int, n_rows: int | None 
     return jnp.asarray(x), jnp.asarray(y), jnp.asarray(w)
 
 
-def make_device_eval_fn(cfg: V.VARGPConfig, hp: TrainHyperparams | None = None):
+def make_device_eval_fn(
+    cfg: V.VARGPConfig, hp: TrainHyperparams | None = None, mesh=None
+):
     """Scanned whole-dataset accuracy: all eval batches in one dispatch.
 
     xs: (K, B, D), ys/ws: (K, B) — returns (correct_count, weight_count).
+
+    By default theta (the kernel hyper-samples) is drawn ONCE and shared
+    across all eval batches: the reference re-samples per batch
+    (train_utils.py:24-28 calls predict per batch), but at eval the samples
+    are a pure MC estimate — sharing them across the scan is the same
+    estimator over a dataset-level budget and saves one Gram+Cholesky per
+    batch.  Set hp.eval_resample_per_batch=True for reference semantics.
     """
     n_f = hp.eval_n_f if hp else None
     n_v = hp.eval_n_var_samples if hp else None
+    resample = hp.eval_resample_per_batch if hp else False
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batch_sh = (
+            NamedSharding(mesh, P("data", None)),
+            NamedSharding(mesh, P("data")),
+            NamedSharding(mesh, P("data")),
+        )
+
+    from vargp_tpu.likelihoods import softmax_predict
 
     @jax.jit
     def eval_acc(params, prev, chain_mask, xs, ys, ws, key):
+        k_post, k_lik = jax.random.split(key)
+        if not resample:
+            # hoist the (sum M)^3 posterior build out of the batch scan
+            cp = V.build_posterior(
+                params, prev, k_post, cfg,
+                chain_mask=chain_mask, n_var_samples=n_v,
+            )
+
         def body(carry, batch):
             i, correct = carry
             x, y, w = batch
-            probs = V.predict(
-                params, prev, x, jax.random.fold_in(key, i), cfg,
-                n_f=n_f, n_var_samples=n_v, chain_mask=chain_mask,
-            )
+            if mesh is not None:
+                x, y, w = jax.lax.with_sharding_constraint((x, y, w), batch_sh)
+            if resample:
+                probs = V.predict(
+                    params, prev, x, jax.random.fold_in(key, i), cfg,
+                    n_f=n_f, n_var_samples=n_v, chain_mask=chain_mask,
+                )
+            else:
+                f_mean, f_var = V.marginal_diag(
+                    cp, params, x, cfg, chain_mask=chain_mask
+                )
+                probs = softmax_predict(
+                    jax.random.fold_in(k_lik, i), f_mean, f_var, n_f or cfg.n_f
+                )
             hits = (jnp.argmax(probs, axis=-1) == y).astype(jnp.float32) * w
             return (i + 1, correct + jnp.sum(hits)), None
 
@@ -382,10 +415,14 @@ def train_task(
     t_start = time.time()
     steps = 0
     epoch = -1
+    last_eval = 0  # epochs completed at the most recent eval
     max_block_epochs = max(1, hp.max_steps_per_dispatch // max(steps_per_epoch, 1)) if hp.scan_epoch else 1
     while epoch + 1 < hp.epochs:
         if hp.scan_epoch:
-            block = min(hp.eval_interval, hp.epochs - (epoch + 1), max_block_epochs)
+            # stop the block exactly on the eval cadence even when
+            # max_steps_per_dispatch caps it below eval_interval
+            to_eval = hp.eval_interval - ((epoch + 1) - last_eval)
+            block = min(max(to_eval, 1), hp.epochs - (epoch + 1), max_block_epochs)
             key_seq, k_blk = jax.random.split(key_seq)
             params, opt_state, loss_val, aux = run_block(
                 block, params, opt_state, prev, prior, chain_mask, n_train,
@@ -404,7 +441,8 @@ def train_task(
                 )
                 steps += 1
 
-        if (epoch + 1) % hp.eval_interval == 0 or epoch + 1 >= hp.epochs:
+        if (epoch + 1) - last_eval >= hp.eval_interval or epoch + 1 >= hp.epochs:
+            last_eval = epoch + 1
             key_seq, k_ev = jax.random.split(key_seq)
 
             if hp.scan_epoch:
