@@ -101,3 +101,15 @@ def test_dkl_training_runs(tmp_path):
     prev = tuple(freeze_task(p) for p in chain[:-1])
     probs = predict(chain[-1], prev, jnp.asarray(seen.data[:32]), jax.random.key(0))
     assert np.isfinite(np.asarray(probs)).all()
+
+
+def test_plot_inducing_images(tmp_path):
+    import numpy as np
+
+    from vargp_tpu.experiments.plots import plot_inducing_images
+
+    z = np.random.default_rng(0).random((3, 5, 784)).astype(np.float32)
+    out = plot_inducing_images(z, str(tmp_path / "ind.png"))
+    import os
+
+    assert os.path.exists(out) and os.path.getsize(out) > 0

@@ -102,6 +102,43 @@ def test_global_trains_toy_task():
     assert acc > 0.9, acc
 
 
+def test_global_grown_m_two_tasks_end_to_end():
+    """The grown-M continual path (grow_per_task > 0): task 1 trains with a
+    LARGER inducing set whose leading rows are task 0's, and the
+    u_prev_reg term evaluates q_1 at task-0's smaller z (unequal sizes).
+    Exercises loop_global.train_task end-to-end at grown sizes
+    (reference semantics: train_utils_global.py:16-39, toy_global.py:34)."""
+    from vargp_tpu.train.loop import TrainHyperparams
+    from vargp_tpu.train import loop_global
+
+    toy = data.make_toy_dataset(seed=0)
+    hp = TrainHyperparams(
+        epochs=400, lr=2e-2, batch_size=256, beta=1.0, eval_interval=100,
+        patience=-1,
+    )
+    key = jax.random.key(0)
+    prev_params = None
+    accs = []
+    for t, M_t in enumerate((8, 14)):  # grown: M_prev=8 != M=14
+        cfg = G.GlobalSVGPConfig(
+            M=M_t, out_size=4, in_size=2, n_f=6, n_var_samples=2
+        )
+        train_set = data.filter_by_class(toy, [2 * t, 2 * t + 1])
+        seen = data.filter_by_class(toy, range(2 * t + 2))
+        key, k_task = jax.random.split(key)
+        prev_params, info = loop_global.train_task(
+            k_task, t, train_set, seen, seen, cfg, hp,
+            prev_state=prev_params, seed=t,
+        )
+        acc = info["acc_summary"][f"task{t}/test/acc"]
+        assert np.isfinite(acc)
+        accs.append(acc)
+        # grown inducing set keeps its size
+        assert prev_params.z.shape == (4, M_t, 2)
+    # after 2 tasks the global model must still classify seen classes well
+    assert accs[-1] > 0.6, accs
+
+
 class TestRetrain:
     def _setup(self, with_prev: bool):
         rng = np.random.default_rng(3)

@@ -34,3 +34,66 @@ def test_seed_everything_deterministic():
 
 def test_parse_trace_empty(tmp_path):
     assert parse_trace(str(tmp_path)) == {}
+
+
+def test_checkpoint_roundtrip_and_structure_validation(tmp_path):
+    """save_pytree stores path-keyed leaves; load_pytree round-trips and
+    fails LOUDLY on a cfg mismatch (wrong M / dkl) instead of silently
+    mis-assembling params."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from vargp_tpu.models import vargp as V
+    from vargp_tpu.utils.checkpoint import (
+        CheckpointStructureError,
+        load_pytree,
+        save_pytree,
+    )
+
+    key = jax.random.key(0)
+    cfg = V.VARGPConfig(M=4, out_size=3, in_size=2)
+    z = jnp.zeros((3, 4, 2))
+    params, _ = V.init_params(key, z, cfg)
+    path = str(tmp_path / "ckpt0.npz")
+    save_pytree(path, params)
+
+    loaded = load_pytree(path, params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # wrong M -> shape mismatch, clear error
+    cfg_bad = V.VARGPConfig(M=6, out_size=3, in_size=2)
+    bad_template, _ = V.init_params(key, jnp.zeros((3, 6, 2)), cfg_bad)
+    with pytest.raises(CheckpointStructureError, match="shape"):
+        load_pytree(path, bad_template)
+
+    # wrong dkl flag -> different leaf set, clear error
+    cfg_dkl = V.VARGPConfig(M=4, out_size=3, in_size=2, dkl=True)
+    dkl_template, _ = V.init_params(key, z, cfg_dkl)
+    with pytest.raises(CheckpointStructureError, match="missing|legacy"):
+        load_pytree(path, dkl_template)
+
+
+def test_checkpoint_legacy_format_loads(tmp_path):
+    """Round-1 order-keyed checkpoints (leaf_{i}) still load, with a count
+    check."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from vargp_tpu.utils.checkpoint import CheckpointStructureError, load_pytree
+
+    tree = {"a": jnp.arange(3.0), "b": jnp.ones((2, 2))}
+    leaves = jax.tree_util.tree_leaves(tree)
+    np.savez(
+        str(tmp_path / "old.npz"),
+        **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+    )
+    loaded = load_pytree(str(tmp_path / "old.npz"), tree)
+    np.testing.assert_array_equal(np.asarray(loaded["a"]), np.arange(3.0))
+
+    with pytest.raises(CheckpointStructureError, match="legacy"):
+        load_pytree(str(tmp_path / "old.npz"), {"a": jnp.zeros(3)})

@@ -9,7 +9,7 @@ recompiling).
 
 from vargp_tpu.data.core import ArrayDataset, batch_iter, eval_batches
 from vargp_tpu.data.toy import make_toy_dataset
-from vargp_tpu.data.mnist import load_mnist, mnist_available
+from vargp_tpu.data.mnist import load_mnist, mnist_available, mnist_source
 from vargp_tpu.data.tasks import (
     filter_by_class,
     split_train_val,
@@ -24,6 +24,7 @@ __all__ = [
     "make_toy_dataset",
     "load_mnist",
     "mnist_available",
+    "mnist_source",
     "filter_by_class",
     "split_train_val",
     "make_permutations",

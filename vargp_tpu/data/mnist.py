@@ -115,9 +115,30 @@ def _synthetic_mnist(train: bool, seed: int = 1234) -> ArrayDataset:
     return ArrayDataset(imgs.reshape(n, 784).astype(np.float32), labels)
 
 
+_warned_synthetic = False
+
+
+def mnist_source(data_dir: str | None = None) -> str:
+    """The data source load_mnist would use: 'idx' (real MNIST) or
+    'synthetic' (the surrogate).  Drivers surface this in their logs."""
+    return "idx" if mnist_available(data_dir) else "synthetic"
+
+
 def load_mnist(data_dir: str | None = None, train: bool = True) -> ArrayDataset:
     found = _find_idx(data_dir, train)
     if found is None:
+        global _warned_synthetic
+        if not _warned_synthetic:
+            import warnings
+
+            warnings.warn(
+                "MNIST IDX files not found — using the synthetic MNIST "
+                "surrogate (calibrated distances, NOT real digits). Put "
+                "train-images-idx3-ubyte etc. under $VARGP_TPU_DATA_DIR "
+                "to run on real data.",
+                stacklevel=2,
+            )
+            _warned_synthetic = True
         return _synthetic_mnist(train)
     img_path, lbl_path = found
     if img_path.suffix != ".gz":

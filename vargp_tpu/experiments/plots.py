@@ -58,6 +58,38 @@ def plot_matrices(acc, ent, out_path="matrices.png"):
     return out_path
 
 
+def plot_inducing_images(
+    z, out_path="inducing.png", img_shape=(28, 28), max_per_class=10
+):
+    """Learned inducing points rendered as images, one row per class head
+    (mnist.ipynb cell 10: the paper's 'inducing inputs look like digits'
+    figure).  z: (out_size, M, D) with D == prod(img_shape)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    z = np.asarray(z)
+    O, M, D = z.shape
+    assert D == int(np.prod(img_shape)), (D, img_shape)
+    n_cols = min(M, max_per_class)
+    fig, axes = plt.subplots(
+        O, n_cols, figsize=(1.1 * n_cols, 1.1 * O), squeeze=False
+    )
+    for o in range(O):
+        for m in range(n_cols):
+            ax = axes[o][m]
+            ax.imshow(z[o, m].reshape(img_shape), cmap="gray_r")
+            ax.set_xticks([])
+            ax.set_yticks([])
+            if m == 0:
+                ax.set_ylabel(f"class {o}", fontsize=8)
+    fig.suptitle("inducing inputs")
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
 def plot_accuracy_vs_m(results: dict, out_path="varying_M.png"):
     """Final average accuracy vs number of inducing points
     (mnist.ipynb cell 17).  results: {M: final_avg_acc}."""

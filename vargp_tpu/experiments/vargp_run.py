@@ -27,7 +27,7 @@ def _log_dir(name: str) -> str:
 
 def _run_task_stream(
     name, tasks, cfg, hp, seed, log_dir=None, n_tasks_cap=None, ls_init=None,
-    resume=False,
+    resume=False, meta=None,
 ):
     """Shared continual loop: per-task train, chain growth, ckpt save.
 
@@ -39,6 +39,13 @@ def _run_task_stream(
     chain = []
     summaries = []
     shared = {}
+    if meta:
+        import json
+
+        os.makedirs(log_dir, exist_ok=True)
+        with open(os.path.join(log_dir, "run_meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        print(f"[{name}] " + " ".join(f"{k}={v}" for k, v in meta.items()))
     with MetricsLogger(log_dir) as logger:
         for t, (train_set, val_set, test_set) in enumerate(tasks):
             if n_tasks_cap is not None and t >= n_tasks_cap:
@@ -143,7 +150,10 @@ def split_mnist(
         pad_tasks_to=n_tasks, pad_data_rows=max_train,
         pad_eval_batches=-(-max_eval_rows // batch_size),
     )
-    return _run_task_stream("s_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init, resume=resume)
+    return _run_task_stream(
+        "s_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init,
+        resume=resume, meta={"data_source": data.mnist_source(data_dir)},
+    )
 
 
 def permuted_mnist(
@@ -182,7 +192,10 @@ def permuted_mnist(
         pad_tasks_to=n_tasks, pad_data_rows=len(train_all),
         pad_eval_batches=-(-max_eval_rows // batch_size),
     )
-    return _run_task_stream("p_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init, resume=resume)
+    return _run_task_stream(
+        "p_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init,
+        resume=resume, meta={"data_source": data.mnist_source(data_dir)},
+    )
 
 
 def varying_m(

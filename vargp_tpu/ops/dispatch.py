@@ -31,8 +31,11 @@ def get_backend() -> str:
         platform = jax.default_backend()
     except RuntimeError:
         return "xla"
-    # Any TPU-like platform (tpu, or tunneled plugins) gets the Pallas path.
-    return "pallas" if platform not in ("cpu", "gpu", "cuda", "rocm") else "xla"
+    # Whitelist TPU-like platforms (native TPU + known tunneled TPU
+    # plugins) for the Pallas/Mosaic path; every other platform — CPU,
+    # GPU, and unknown plugins like METAL where Mosaic lowering would
+    # fail — takes the XLA reference implementations.
+    return "pallas" if platform in ("tpu", "axon", "proxy") else "xla"
 
 
 # ---------------------------------------------------------------------------

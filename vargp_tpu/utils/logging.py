@@ -1,9 +1,11 @@
 """Metrics logging.
 
 Parity: the reference logs scalars via TensorBoard SummaryWriter into a
-W&B-synced dir (experiments/vargp.py:44-67).  Here: an always-available
-JSONL writer (one line per scalar) plus optional TensorBoard mirroring if
-torch's SummaryWriter is importable.  No hard wandb/tensorboard deps.
+W&B-synced dir (wandb.init(tensorboard=True), experiments/vargp.py:113-116).
+Here: an always-available JSONL writer (one line per scalar) plus optional
+TensorBoard mirroring if torch's SummaryWriter is importable, plus opt-in
+W&B mirroring (wandb=True, or VARGP_TPU_WANDB=1) when the wandb package is
+installed.  No hard wandb/tensorboard deps.
 """
 
 import json
@@ -12,7 +14,9 @@ import time
 
 
 class MetricsLogger:
-    def __init__(self, log_dir: str, tensorboard: bool = True):
+    def __init__(
+        self, log_dir: str, tensorboard: bool = True, wandb: bool | None = None
+    ):
         self.log_dir = log_dir
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
@@ -24,6 +28,21 @@ class MetricsLogger:
                 self._tb = SummaryWriter(log_dir=log_dir)
             except Exception:
                 self._tb = None
+        self._wandb = None
+        if wandb is None:
+            wandb = os.environ.get("VARGP_TPU_WANDB", "") not in ("", "0")
+        if wandb:
+            try:
+                import wandb as _wandb
+
+                self._wandb = _wandb.init(
+                    project=os.environ.get("WANDB_PROJECT", "vargp_tpu"),
+                    dir=log_dir,
+                    mode=os.environ.get("WANDB_MODE", "offline"),
+                    reinit=True,
+                )
+            except Exception:
+                self._wandb = None
 
     def add_scalar(self, tag: str, value: float, step: int = 0) -> None:
         rec = dict(tag=tag, value=float(value), step=int(step), time=time.time())
@@ -31,11 +50,15 @@ class MetricsLogger:
         self._f.flush()
         if self._tb is not None:
             self._tb.add_scalar(tag, value, global_step=step)
+        if self._wandb is not None:
+            self._wandb.log({tag: float(value)}, step=int(step))
 
     def close(self) -> None:
         self._f.close()
         if self._tb is not None:
             self._tb.close()
+        if self._wandb is not None:
+            self._wandb.finish()
 
     def __enter__(self):
         return self
