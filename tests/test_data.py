@@ -62,3 +62,20 @@ def test_synthetic_mnist_learnable():
     )
     acc = (pred == te.targets[:2000]).mean()
     assert acc > 0.9
+
+
+def test_real_mnist_integration():
+    """Skip-gated real-data path: when IDX files are present (e.g. under
+    $VARGP_TPU_DATA_DIR), the loader must return the genuine 60k/10k MNIST
+    and a nearest-centroid rule must clear the known ~75-85% band."""
+    import pytest
+
+    if not data.mnist_available():
+        pytest.skip("real MNIST IDX files not provisioned")
+    tr = data.load_mnist(train=True)
+    te = data.load_mnist(train=False)
+    assert len(tr) == 60000 and len(te) == 10000
+    cents = np.stack([tr.data[tr.targets == c].mean(0) for c in range(10)])
+    pred = np.argmin(((te.data[:2000, None] - cents[None]) ** 2).sum(-1), axis=1)
+    acc = (pred == te.targets[:2000]).mean()
+    assert acc > 0.70, acc

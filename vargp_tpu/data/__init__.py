@@ -9,6 +9,7 @@ recompiling).
 
 from vargp_tpu.data.core import ArrayDataset, batch_iter, eval_batches
 from vargp_tpu.data.toy import make_toy_dataset
+from vargp_tpu.data.digits import load_digits_dataset
 from vargp_tpu.data.mnist import load_mnist, mnist_available, mnist_source
 from vargp_tpu.data.tasks import (
     filter_by_class,
@@ -22,6 +23,7 @@ __all__ = [
     "batch_iter",
     "eval_batches",
     "make_toy_dataset",
+    "load_digits_dataset",
     "load_mnist",
     "mnist_available",
     "mnist_source",

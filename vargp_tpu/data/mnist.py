@@ -67,19 +67,38 @@ import functools
 
 @functools.lru_cache(maxsize=4)
 def _synthetic_mnist(train: bool, seed: int = 1234) -> ArrayDataset:
-    """Deterministic MNIST-shaped surrogate with *real-MNIST distance
-    statistics*: sparse stroke images (~20% ink) built from a stroke bank
-    shared across classes plus class-specific strokes, with per-sample ink
-    dropout/intensity jitter.
+    """Deterministic NON-SATURATING MNIST surrogate with *real-MNIST
+    statistics*: sparse stroke images built from a shared stroke bank,
+    multiple writing "styles" per class, cross-class confusable hybrids,
+    and per-sample translation/dropout/intensity jitter.
 
-    Matching the distance scale matters: on TPU, RBF kernels at the
-    reference's default/prior lengthscales see exp(-d^2/2) flush to zero
-    (subnormals) when pairwise d^2 is a few hundred, killing hyperparameter
-    gradients.  Real MNIST sits at intra-class d^2 ~ 20-40 and inter-class
-    ~ 40-80, which this generator reproduces, so default hyperparameters
-    behave comparably to the real dataset."""
+    Two calibration targets (both matter):
+
+    1. Distance scale — on TPU, RBF kernels at the reference's default
+       lengthscales see exp(-d^2/2) flush to zero when pairwise d^2 is a
+       few hundred, killing hyperparameter gradients.  Real MNIST sits at
+       intra-class d^2 ~ 20-40 / inter-class ~ 40-80; reproduced here.
+    2. Difficulty — the round-1 surrogate was nearest-centroid separable
+       to ~100%, so every continual metric saturated (acc 1.0, BWT 0.0)
+       and could not validate continual-learning behavior.  This version
+       targets real-MNIST-like separability (nearest-centroid ~80-85%,
+       1-NN ~95%+): per-class styles create intra-class variance and
+       hybrid samples (borrowing a partner class 3 ahead, i.e. across
+       Split-MNIST task boundaries) create genuine class overlap, so
+       accuracy matrices have off-diagonal structure and BWT moves.
+    """
     n = 60000 if train else 10000
     rng = np.random.default_rng(seed)  # same prototypes for train & test
+    N_STYLES = 5
+    # Hybrid fraction and mixing range set the irreducible (Bayes) error:
+    # a hybrid image is an alpha-mix of its class and a partner class and
+    # its LABEL is the class with prob alpha, the partner otherwise — like
+    # a sloppy 4 that really is labeled 9.  Bayes error ~= P_HYBRID *
+    # E[1-alpha] ~= 0.10 * 0.25 = 2.5%, so the accuracy ceiling sits near
+    # the paper's ~97% S-MNIST instead of saturating at 100%.
+    P_HYBRID = 0.10
+    ALPHA_LO, ALPHA_HI = 0.55, 0.95
+    partner = (np.arange(10) + 3) % 10  # crosses {2t,2t+1} task pairs
 
     def smooth(img):
         k = np.array([0.25, 0.5, 0.25], dtype=np.float32)
@@ -95,22 +114,46 @@ def _synthetic_mnist(train: bool, seed: int = 1234) -> ArrayDataset:
         return (field >= thresh).astype(np.float32)
 
     shared = stroke_mask(90)  # common "ink" every class shares
-    protos = []
-    for _ in range(10):
-        cls = stroke_mask(70)
-        mask = np.clip(shared + cls, 0.0, 1.0)
-        protos.append(mask * 0.8)
-    protos = np.stack(protos)  # (10, 28, 28), ~140 ink px each
+    core = np.stack([stroke_mask(40) for _ in range(10)])  # class identity
+    # styles: class core + a style-specific stroke (intra-class variance)
+    protos = np.empty((10, N_STYLES, 28, 28), np.float32)
+    for c in range(10):
+        for s in range(N_STYLES):
+            style = stroke_mask(45)
+            protos[c, s] = np.clip(shared + core[c] + 0.9 * style, 0.0, 1.0) * 0.8
 
     sample_rng = np.random.default_rng(seed + (0 if train else 1))
     labels = sample_rng.integers(0, 10, size=n).astype(np.int32)
-    imgs = protos[labels]
-    # per-sample ink dropout + intensity jitter, tiny background noise.
-    # calibrated so intra-class nearest-neighbour d^2 ~ 5-15 (like real
-    # MNIST), which is where the RBF likelihood gradient actually lives
-    keep = (sample_rng.random(imgs.shape) < 0.95).astype(np.float32)
-    gain = 0.9 + 0.2 * sample_rng.random((n, 1, 1)).astype(np.float32)
-    noise = 0.01 * np.abs(sample_rng.standard_normal(imgs.shape)).astype(np.float32)
+    styles = sample_rng.integers(0, N_STYLES, size=n)
+    imgs = protos[labels, styles]
+
+    # hybrids: convex mix with a partner-class style -> real class overlap,
+    # with the label drawn from the mixture weights (irreducible error)
+    is_hyb = sample_rng.random(n) < P_HYBRID
+    alpha1 = (
+        ALPHA_LO + (ALPHA_HI - ALPHA_LO) * sample_rng.random(n)
+    ).astype(np.float32)
+    alpha = alpha1[:, None, None]
+    partner_imgs = protos[partner[labels], sample_rng.integers(0, N_STYLES, n)]
+    imgs = np.where(is_hyb[:, None, None], alpha * imgs + (1 - alpha) * partner_imgs, imgs)
+    flip = is_hyb & (sample_rng.random(n) > alpha1)
+    labels = np.where(flip, partner[labels], labels).astype(np.int32)
+
+    # per-sample +-1px translation (9 variants, vectorized per group)
+    shifts = sample_rng.integers(-1, 2, size=(n, 2))
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy == 0 and dx == 0:
+                continue
+            m = (shifts[:, 0] == dy) & (shifts[:, 1] == dx)
+            if m.any():
+                imgs[m] = np.roll(imgs[m], (dy, dx), axis=(1, 2))
+
+    # ink dropout + intensity jitter + background noise; calibrated so
+    # intra-class NN d^2 ~ 5-15 (where the RBF likelihood gradient lives)
+    keep = (sample_rng.random(imgs.shape) < 0.90).astype(np.float32)
+    gain = 0.85 + 0.3 * sample_rng.random((n, 1, 1)).astype(np.float32)
+    noise = 0.02 * np.abs(sample_rng.standard_normal(imgs.shape)).astype(np.float32)
     imgs = np.clip(imgs * keep * gain + noise, 0.0, 1.0)
     return ArrayDataset(imgs.reshape(n, 784).astype(np.float32), labels)
 

@@ -158,6 +158,48 @@ def analyze_pmnist(
     return summary
 
 
+def analyze_sdigits(
+    log_dir: str,
+    n_tasks: int = 5,
+    M: int = 20,
+    dkl: bool = False,
+    out_json: str | None = None,
+    n_f: int = 50,
+    n_var_samples: int = 20,
+):
+    """End-to-end Split-Digits analysis (real sklearn digits): T x T
+    accuracy/entropy matrices over per-task test splits, notebook MC
+    budgets (mnist.ipynb cell 12 protocol)."""
+    cfg = V.VARGPConfig(M=M, out_size=10, in_size=64, dkl=bool(dkl))
+    key = jax.random.key(0)
+    z = jnp.zeros((cfg.out_size, cfg.M, cfg.in_size))
+    example, _ = V.init_params(key, z, cfg)
+    chain = load_task_chain(log_dir, n_tasks, example)
+
+    test_full = data.load_digits_dataset(train=False, seed=0)
+    test_sets = [
+        data.filter_by_class(test_full, [2 * t, 2 * t + 1]) for t in range(n_tasks)
+    ]
+    acc, ent = accuracy_entropy_matrices(
+        chain, cfg, test_sets, n_f=n_f, n_var_samples=n_var_samples
+    )
+    summary = summarize(acc, ent)
+    out_json = out_json or os.path.join(log_dir, "analysis.json")
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=2)
+    try:
+        from vargp_tpu.experiments.plots import plot_inducing_images, plot_matrices
+
+        plot_matrices(acc, ent, os.path.join(log_dir, "matrices.png"))
+        plot_inducing_images(
+            chain[-1].z, os.path.join(log_dir, "inducing.png"), img_shape=(8, 8)
+        )
+    except Exception:
+        pass
+    print(json.dumps({k: v for k, v in summary.items() if "matrix" not in k}))
+    return summary
+
+
 def analyze_smnist(
     log_dir: str,
     data_dir=None,

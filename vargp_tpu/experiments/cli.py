@@ -27,6 +27,7 @@ def _commands():
         "toy": vargp_run.toy,
         "s_mnist": vargp_run.split_mnist,
         "p_mnist": vargp_run.permuted_mnist,
+        "s_digits": vargp_run.split_digits,
         "varying_m": vargp_run.varying_m,
         # reference: experiments/{mnist_global,toy_global}.py
         "toy_global": global_run.toy_global,
@@ -39,6 +40,7 @@ def _commands():
         # reference: notebooks (analysis protocol as code)
         "analyze_smnist": analysis.analyze_smnist,
         "analyze_pmnist": analysis.analyze_pmnist,
+        "analyze_sdigits": analysis.analyze_sdigits,
         # reference: experiments/wandb_utils.py sweep generator
         "gen_sweep": sweep.generate_vargp_sweep,
         "run_sweep": sweep.run_sweep,

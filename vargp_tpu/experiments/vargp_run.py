@@ -156,6 +156,55 @@ def split_mnist(
     )
 
 
+def split_digits(
+    epochs=500, M=20, lr=3e-3, batch_size=512, beta=10.0,
+    n_f=10, n_var_samples=3, ep_var_mean=True, map_est_hypers=False,
+    dkl=False, seed=None, eval_interval=10, patience=20, log_dir=None,
+    n_tasks=5, ls_init=None, resume=False,
+):
+    """Split-Digits: the Split-MNIST protocol (experiments/vargp.py:107-141)
+    on sklearn's REAL 8x8 handwritten digits — runnable on zero-egress
+    hosts, small enough for direct torch-reference parity runs
+    (scripts/ref_digits.py)."""
+    rng = np.random.default_rng(seed or 0)
+    train_full = data.load_digits_dataset(train=True, seed=0)
+    test_full = data.load_digits_dataset(train=False, seed=0)
+    # ~20% of train as validation, stratified protocol as in split_mnist
+    train_all, val_all = data.split_train_val(
+        train_full, len(train_full) // 5, rng
+    )
+
+    def tasks():
+        for t in range(n_tasks):
+            train_set = data.filter_by_class(train_all, [2 * t, 2 * t + 1])
+            val_set = data.filter_by_class(val_all, range(2 * t + 2))
+            test_set = data.filter_by_class(test_full, range(2 * t + 2))
+            yield train_set, val_set, test_set
+
+    cfg = VARGPConfig(
+        M=M, out_size=10, in_size=64, n_f=n_f, n_var_samples=n_var_samples,
+        ep_var_mean=bool(ep_var_mean), map_est_hypers=bool(map_est_hypers),
+        dkl=bool(dkl),
+    )
+    counts = np.bincount(train_all.targets, minlength=2 * n_tasks)
+    max_train = int(max(counts[2 * t] + counts[2 * t + 1] for t in range(n_tasks)))
+    max_eval_rows = max(
+        max_train,
+        len(val_all),
+        len(test_full),
+    )
+    hp = TrainHyperparams(
+        epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
+        eval_interval=eval_interval, patience=patience,
+        pad_tasks_to=n_tasks, pad_data_rows=max(batch_size, max_train),
+        pad_eval_batches=-(-max_eval_rows // batch_size),
+    )
+    return _run_task_stream(
+        "s_digits", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init,
+        resume=resume, meta={"data_source": "sklearn-digits (real)"},
+    )
+
+
 def permuted_mnist(
     data_dir=None, n_tasks=10, epochs=1000, M=100, lr=3.7e-3,
     batch_size=512, beta=1.64, n_f=10, n_var_samples=3, ep_var_mean=True,
