@@ -67,38 +67,43 @@ import functools
 
 @functools.lru_cache(maxsize=4)
 def _synthetic_mnist(train: bool, seed: int = 1234) -> ArrayDataset:
-    """Deterministic NON-SATURATING MNIST surrogate with *real-MNIST
-    statistics*: sparse stroke images built from a shared stroke bank,
-    multiple writing "styles" per class, cross-class confusable hybrids,
-    and per-sample translation/dropout/intensity jitter.
+    """Deterministic NON-SATURATING MNIST surrogate, calibrated to be
+    *trainable by the reference model at its default initialization*.
 
-    Two calibration targets (both matter):
+    Three calibration targets (all matter; see tests/test_data.py):
 
-    1. Distance scale — on TPU, RBF kernels at the reference's default
-       lengthscales see exp(-d^2/2) flush to zero when pairwise d^2 is a
-       few hundred, killing hyperparameter gradients.  Real MNIST sits at
-       intra-class d^2 ~ 20-40 / inter-class ~ 40-80; reproduced here.
-    2. Difficulty — the round-1 surrogate was nearest-centroid separable
-       to ~100%, so every continual metric saturated (acc 1.0, BWT 0.0)
-       and could not validate continual-learning behavior.  This version
-       targets real-MNIST-like separability (nearest-centroid ~80-85%,
-       1-NN ~95%+): per-class styles create intra-class variance and
-       hybrid samples (borrowing a partner class 3 ahead, i.e. across
-       Split-MNIST task boundaries) create genuine class overlap, so
-       accuracy matrices have off-diagonal structure and BWT moves.
+    1. Distance scale — the RBF kernel at the reference's lengthscale init
+       (0.5, kernels.py:14-16) sees exp(-2*d^2) of raw pairwise d^2: the
+       Gram flushes to zero (f32) once d^2 is a few tens and NO gradient
+       reaches the hyperparameters — the model provably flatlines (round-2
+       measurement: intra d^2 ~ 104 -> 10% accuracy after 470 epochs).
+       Split-Digits, where BOTH the torch reference and this repo train to
+       ~95%+, sits at NN-intra d^2 ~ 1, intra ~ 5, inter ~ 10; the
+       surrogate targets that *demonstrably trainable* regime (global
+       intensity scale + sparse strokes), not raw-MNIST d^2 (which the
+       1-GPU reference protocol handled only via torchvision-era budgets
+       we cannot replicate without the data).
+    2. Class structure — intra-class d^2 must sit well below inter-class
+       (real-image geometry); the class core stroke outweighs the
+       style strokes.
+    3. Difficulty — the round-1 surrogate was nearest-centroid separable
+       to ~100%, so every continual metric saturated (acc 1.0, BWT 0.0).
+       Hybrid samples (an alpha-mix with a partner class 3 ahead — across
+       Split-MNIST task boundaries — labeled by the mixture weights) give
+       ~2.5% irreducible error, and style/jitter variance keeps 1-NN near
+       real MNIST's ~96-97%: accuracy matrices get off-diagonal structure
+       and BWT moves.
     """
     n = 60000 if train else 10000
     rng = np.random.default_rng(seed)  # same prototypes for train & test
     N_STYLES = 5
     # Hybrid fraction and mixing range set the irreducible (Bayes) error:
-    # a hybrid image is an alpha-mix of its class and a partner class and
-    # its LABEL is the class with prob alpha, the partner otherwise — like
-    # a sloppy 4 that really is labeled 9.  Bayes error ~= P_HYBRID *
-    # E[1-alpha] ~= 0.10 * 0.25 = 2.5%, so the accuracy ceiling sits near
-    # the paper's ~97% S-MNIST instead of saturating at 100%.
+    # ~= P_HYBRID * E[1-alpha] ~= 0.10 * 0.25 = 2.5%, so the accuracy
+    # ceiling sits near the paper's ~97% S-MNIST instead of 100%.
     P_HYBRID = 0.10
     ALPHA_LO, ALPHA_HI = 0.55, 0.95
     partner = (np.arange(10) + 3) % 10  # crosses {2t,2t+1} task pairs
+    SCALE = 0.33  # global intensity -> d^2 into the digits-like regime
 
     def smooth(img):
         k = np.array([0.25, 0.5, 0.25], dtype=np.float32)
@@ -114,13 +119,16 @@ def _synthetic_mnist(train: bool, seed: int = 1234) -> ArrayDataset:
         return (field >= thresh).astype(np.float32)
 
     shared = stroke_mask(90)  # common "ink" every class shares
-    core = np.stack([stroke_mask(40) for _ in range(10)])  # class identity
-    # styles: class core + a style-specific stroke (intra-class variance)
+    core = np.stack([stroke_mask(55) for _ in range(10)])  # class identity
+    # styles: class core dominates; style strokes add bounded intra-class
+    # variance (weight chosen so intra d^2 ~ 0.5x inter d^2)
     protos = np.empty((10, N_STYLES, 28, 28), np.float32)
     for c in range(10):
         for s in range(N_STYLES):
-            style = stroke_mask(45)
-            protos[c, s] = np.clip(shared + core[c] + 0.9 * style, 0.0, 1.0) * 0.8
+            style = stroke_mask(40)
+            protos[c, s] = (
+                np.clip(0.6 * shared + core[c] + 0.45 * style, 0.0, 1.0) * SCALE
+            )
 
     sample_rng = np.random.default_rng(seed + (0 if train else 1))
     labels = sample_rng.integers(0, 10, size=n).astype(np.int32)
@@ -149,11 +157,13 @@ def _synthetic_mnist(train: bool, seed: int = 1234) -> ArrayDataset:
             if m.any():
                 imgs[m] = np.roll(imgs[m], (dy, dx), axis=(1, 2))
 
-    # ink dropout + intensity jitter + background noise; calibrated so
-    # intra-class NN d^2 ~ 5-15 (where the RBF likelihood gradient lives)
-    keep = (sample_rng.random(imgs.shape) < 0.90).astype(np.float32)
+    # ink dropout + intensity jitter + background noise (absolute noise
+    # scaled with SCALE so it perturbs, not dominates, the stroke signal)
+    keep = (sample_rng.random(imgs.shape) < 0.92).astype(np.float32)
     gain = 0.85 + 0.3 * sample_rng.random((n, 1, 1)).astype(np.float32)
-    noise = 0.02 * np.abs(sample_rng.standard_normal(imgs.shape)).astype(np.float32)
+    noise = (
+        0.02 * SCALE * np.abs(sample_rng.standard_normal(imgs.shape))
+    ).astype(np.float32)
     imgs = np.clip(imgs * keep * gain + noise, 0.0, 1.0)
     return ArrayDataset(imgs.reshape(n, 784).astype(np.float32), labels)
 
