@@ -210,9 +210,16 @@ def permuted_mnist(
     batch_size=512, beta=1.64, n_f=10, n_var_samples=3, ep_var_mean=True,
     map_est_hypers=False, dkl=False, seed=None, eval_interval=10,
     patience=20, log_dir=None, ls_init=None, resume=False,
+    padded_chain=False,
 ):
     """Parity: experiments/vargp.py:143-186 — task 0 unpermuted; val/test
-    accumulate all task variants seen so far (ConcatDataset protocol)."""
+    accumulate all task variants seen so far (ConcatDataset protocol).
+
+    ``padded_chain``: True compiles ONE program for all 10 tasks (every
+    task pays full 10-task-chain cost per step); False (default) compiles
+    per task, so task t's step costs scale with its real chain length —
+    ~3x less total compute over the 10-task stream (sum of t^3 vs 10*T^3
+    on the dominant factorization)."""
     rng = np.random.default_rng(seed or 0)
     mnist_train_full = data.load_mnist(data_dir, train=True)
     mnist_test_full = data.load_mnist(data_dir, train=False)
@@ -238,8 +245,11 @@ def permuted_mnist(
     hp = TrainHyperparams(
         epochs=epochs, lr=lr, batch_size=batch_size, beta=beta,
         eval_interval=eval_interval, patience=patience,
-        pad_tasks_to=n_tasks, pad_data_rows=len(train_all),
-        pad_eval_batches=-(-max_eval_rows // batch_size),
+        pad_tasks_to=n_tasks if padded_chain else None,
+        pad_data_rows=len(train_all),
+        pad_eval_batches=(
+            -(-max_eval_rows // batch_size) if padded_chain else None
+        ),
     )
     return _run_task_stream(
         "p_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init,
