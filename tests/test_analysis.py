@@ -113,3 +113,34 @@ def test_plot_inducing_images(tmp_path):
     import os
 
     assert os.path.exists(out) and os.path.getsize(out) > 0
+
+
+def test_compare_methods_external_baselines(tmp_path):
+    """VCL-comparison hook (mnist.ipynb cells 6/15/19/24): external accuracy
+    matrices in any supported format overlay against ours."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from vargp_tpu.experiments.analysis import compare_methods
+
+    rng = np.random.default_rng(0)
+    ours = np.tril(0.95 + 0.05 * rng.random((4, 4)))
+    vcl = np.tril(0.80 + 0.05 * rng.random((4, 4)))
+    csv_path = tmp_path / "vcl.csv"
+    np.savetxt(csv_path, vcl, delimiter=",")
+    json_path = tmp_path / "ours.json"
+    json_path.write_text(_json.dumps({"acc_matrix": ours.tolist()}))
+
+    out = compare_methods(
+        str(json_path),
+        {"vcl": str(csv_path), "vcl_coreset": vcl},
+        out_json=str(tmp_path / "cmp.json"),
+        out_png=str(tmp_path / "cmp.png"),
+    )
+    assert set(out) == {"vargp_tpu", "vcl", "vcl_coreset"}
+    assert out["vargp_tpu"]["final_avg_acc"] > out["vcl"]["final_avg_acc"]
+    assert len(out["vcl"]["avg_acc_after_task"]) == 4
+    assert os.path.getsize(tmp_path / "cmp.json") > 0
+    assert os.path.getsize(tmp_path / "cmp.png") > 0

@@ -120,6 +120,60 @@ def summarize(acc: np.ndarray, ent: np.ndarray) -> dict:
     )
 
 
+def compare_methods(
+    ours: "np.ndarray | str",
+    baselines: dict[str, "np.ndarray | str"],
+    out_json: str | None = None,
+    out_png: str | None = None,
+) -> dict:
+    """Compare our accuracy matrix against external baselines (e.g. VCL).
+
+    Parity: mnist.ipynb cells 6/15/19/24 overlay VCL / VCL-coreset curves
+    against VAR-GP.  Baselines the reference loaded from CSV artifacts are
+    external here too: pass each as a T x T accuracy matrix (array, .json
+    with an 'acc_matrix' key — e.g. any analyze_* output — .csv, or .npy).
+
+    Returns {method: {avg_acc_after_task: [...], final_avg_acc, bwt}} and
+    optionally writes the summary json + an avg-accuracy-vs-task plot.
+    """
+    mats = {"vargp_tpu": _load_acc_matrix(ours)}
+    mats.update({k: _load_acc_matrix(v) for k, v in baselines.items()})
+    out = {}
+    for name, m in mats.items():
+        t = m.shape[0]
+        avg_after = [float(np.mean(m[i, : i + 1])) for i in range(t)]
+        out[name] = dict(
+            avg_acc_after_task=avg_after,
+            final_avg_acc=avg_after[-1],
+            bwt=compute_bwt(m),
+        )
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(out, f, indent=2)
+    if out_png:
+        from vargp_tpu.experiments.plots import plot_method_comparison
+
+        plot_method_comparison(
+            {k: v["avg_acc_after_task"] for k, v in out.items()}, out_png
+        )
+    return out
+
+
+def _load_acc_matrix(src) -> np.ndarray:
+    if isinstance(src, str):
+        if src.endswith(".json"):
+            with open(src) as f:
+                d = json.load(f)
+            src = d["acc_matrix"] if isinstance(d, dict) else d
+        elif src.endswith(".npy"):
+            src = np.load(src)
+        elif src.endswith(".csv"):
+            src = np.loadtxt(src, delimiter=",")
+    m = np.asarray(src, dtype=np.float64)
+    assert m.ndim == 2 and m.shape[0] == m.shape[1], m.shape
+    return m
+
+
 def analyze_pmnist(
     log_dir: str,
     data_dir=None,

@@ -41,6 +41,8 @@ def _commands():
         "analyze_smnist": analysis.analyze_smnist,
         "analyze_pmnist": analysis.analyze_pmnist,
         "analyze_sdigits": analysis.analyze_sdigits,
+        # reference: mnist.ipynb VCL-comparison cells (external baselines)
+        "compare_methods": analysis.compare_methods,
         # reference: experiments/wandb_utils.py sweep generator
         "gen_sweep": sweep.generate_vargp_sweep,
         "run_sweep": sweep.run_sweep,

@@ -107,3 +107,24 @@ def plot_accuracy_vs_m(results: dict, out_path="varying_M.png"):
     fig.savefig(out_path, dpi=120, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def plot_method_comparison(curves: dict, out_path="method_comparison.png"):
+    """Average accuracy (over tasks seen so far) after each task, one line
+    per method — the mnist.ipynb VCL-comparison figure (cells 6/15/19/24).
+    curves: {method_name: [avg_acc_after_task_0, ...]}."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(5, 3.5))
+    for name, ys in curves.items():
+        ax.plot(range(len(ys)), ys, marker="o", label=name)
+    ax.set_xlabel("task")
+    ax.set_ylabel("avg accuracy on tasks seen so far")
+    ax.legend()
+    ax.grid(alpha=0.3)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
