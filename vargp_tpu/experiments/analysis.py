@@ -208,6 +208,15 @@ def analyze_pmnist(
     out_json = out_json or os.path.join(log_dir, "analysis.json")
     with open(out_json, "w") as f:
         json.dump(summary, f, indent=2)
+    try:
+        from vargp_tpu.experiments.plots import plot_inducing_images, plot_matrices
+
+        plot_matrices(acc, ent, os.path.join(log_dir, "matrices.png"))
+        plot_inducing_images(
+            chain[-1].z, os.path.join(log_dir, "inducing.png")
+        )
+    except ImportError:
+        pass
     print(json.dumps({k: v for k, v in summary.items() if "matrix" not in k}))
     return summary
 
