@@ -24,6 +24,9 @@ from vargp_tpu.gpmath.linalg import (
     tri_solve,
     tri_inv,
     chol_solve,
+    mm,
+    mtm,
+    mmt,
 )
 from vargp_tpu.gpmath.mvn import (
     mvn_kl,

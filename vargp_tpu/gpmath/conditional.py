@@ -28,7 +28,7 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from vargp_tpu.gpmath.linalg import _HIGHEST, cholesky, tri_solve
+from vargp_tpu.gpmath.linalg import _HIGHEST, cholesky, mm, mtm, tri_solve
 
 
 # ---------------------------------------------------------------------------
@@ -159,12 +159,10 @@ def ar_joint_posterior(
         rhs = jnp.concatenate([mean, LS], axis=-1)
         if L_inv is not None:
             # matmul path: leading block of L^{-1} is the inverse of L11
-            w = jnp.einsum(
-                "...ij,...jk->...ik", L_inv[..., :c, :c], rhs, precision=_HIGHEST
-            )
+            w = mm(L_inv[..., :c, :c], rhs)
         else:
             w = tri_solve(L11, rhs)
-        AX = jnp.einsum("...ij,...jk->...ik", L21, w, precision=_HIGHEST)
+        AX = mm(L21, w)
         mean = jnp.concatenate(
             [mean, AX[..., :1] + u_means[t]], axis=-2
         )
@@ -223,14 +221,14 @@ def ar_joint_posterior_fast(
     tt = jnp.arange(T)
     Dinv = Li_r[..., tt, :, tt, :]  # advanced indexing -> (T, *batch, M, M)
 
-    w = jnp.einsum("t...ij,t...jk->t...ik", Dinv, ut, precision=_HIGHEST)
-    v = jnp.einsum("t...ij,t...jk->t...ik", Dinv, um, precision=_HIGHEST)
+    w = mm(Dinv, ut)
+    v = mm(Dinv, um)
 
     # column blocks of L: (T, *batch, S, M)
     Lb = jnp.moveaxis(Lb_full.reshape(*batch, S, T, M), -2, 0)
 
     # LS block-columns and the summed mean, all in one batched matmul each
-    LS_blocks = jnp.einsum("t...sm,t...mk->t...sk", Lb, w, precision=_HIGHEST)
+    LS_blocks = mm(Lb, w)
     LS = jnp.moveaxis(LS_blocks, 0, -2).reshape(*batch, S, S)
     mean = jnp.einsum("t...sm,t...mk->...sk", Lb, v, precision=_HIGHEST)
     return ARPosterior(mean=mean, LS=LS)
@@ -269,14 +267,14 @@ def whitened_marginal_diag(
         axis=-1,
     )
     if L_inv is not None:
-        sol = jnp.einsum("...ij,...jk->...ik", L_inv, rhs, precision=_HIGHEST)
+        sol = mm(L_inv, rhs)
     else:
         sol = tri_solve(L, rhs)
     Lm, LLS, W = sol[..., :1], sol[..., 1 : 1 + M], sol[..., 1 + M :]
 
     f_mean = jnp.einsum("...mi,...mb->...b", Lm, W, precision=_HIGHEST)
     diag1 = jnp.sum(jnp.square(W), axis=-2)
-    C = jnp.einsum("...mi,...mb->...ib", LLS, W, precision=_HIGHEST)
+    C = mtm(LLS, W)
     diag2 = jnp.sum(jnp.square(C), axis=-2)
     f_var = Kxx_diag - diag1 + diag2
     return f_mean, f_var

@@ -6,6 +6,9 @@ natively on TPU) plus the jitter conventions of the reference
 ``vargp_tpu.ops`` and are swapped in behind the same call signatures.
 """
 
+import functools
+import os
+
 import jax
 import jax.numpy as jnp
 
@@ -13,6 +16,19 @@ DEFAULT_JITTER = 1e-4
 
 # GP solves are precision-critical: force f32 MXU accumulation everywhere.
 _HIGHEST = jax.lax.Precision.HIGHEST
+
+# Cotangent (backward) matmuls run at HIGH (bf16x3) by default: the ELBO
+# gradient is a Monte-Carlo estimate (n_var_samples * n_f samples per
+# step), so bf16x3 rounding (~f32-comparable for moderate ranges) is far
+# below the sampling noise floor — and the backward dot_generals are the
+# single largest slice of the training step (device trace: 2.56 ms of a
+# 6.09 ms step at HIGHEST; HIGH halves them).  Forward solves stay f32.
+# Revert with VARGP_TPU_BWD_MATMUL=highest.
+_BWD = (
+    _HIGHEST
+    if os.environ.get("VARGP_TPU_BWD_MATMUL", "high") == "highest"
+    else jax.lax.Precision.HIGH
+)
 
 
 def add_jitter(K: jax.Array, eps: float = DEFAULT_JITTER) -> jax.Array:
@@ -183,3 +199,68 @@ def tri_inv(L: jax.Array, block: int = _TRI_INV_BLOCK) -> jax.Array:
 def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     """Batched matmul at HIGHEST precision (f32 accumulation on the MXU)."""
     return jnp.einsum("...ij,...jk->...ik", a, b, precision=_HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# Mixed-precision matmuls: f32 forward, bf16x3 backward (see _BWD above)
+# ---------------------------------------------------------------------------
+
+
+def _sum_to_shape(x: jax.Array, shape) -> jax.Array:
+    """Reverse broadcasting: sum ``x`` down to ``shape``."""
+    extra = x.ndim - len(shape)
+    if extra:
+        x = jnp.sum(x, axis=tuple(range(extra)))
+    axes = tuple(i for i, s in enumerate(shape) if s == 1 and x.shape[i] != 1)
+    if axes:
+        x = jnp.sum(x, axis=axes, keepdims=True)
+    return x
+
+
+def _ein(pattern, a, b, prec):
+    return jnp.einsum(pattern, a, b, precision=prec)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dot_fb(kind: str, a: jax.Array, b: jax.Array) -> jax.Array:
+    """kind: 'nn' = a @ b;  'tn' = a^T @ b;  'nt' = a @ b^T (trailing dims,
+    broadcasting batch).  Forward at HIGHEST, cotangents at _BWD."""
+    pat = {"nn": "...ij,...jk->...ik", "tn": "...ji,...jk->...ik",
+           "nt": "...ij,...kj->...ik"}[kind]
+    return _ein(pat, a, b, _HIGHEST)
+
+
+def _dot_fb_fwd(kind, a, b):
+    return _dot_fb(kind, a, b), (a, b)
+
+
+def _dot_fb_bwd(kind, res, g):
+    a, b = res
+    if kind == "nn":  # out = a b: ga = g b^T, gb = a^T g
+        ga = _ein("...ik,...jk->...ij", g, b, _BWD)
+        gb = _ein("...ji,...jk->...ik", a, g, _BWD)
+    elif kind == "tn":  # out = a^T b: ga = b g^T (j,i), gb = a g
+        ga = _ein("...jk,...ik->...ji", b, g, _BWD)
+        gb = _ein("...ji,...ik->...jk", a, g, _BWD)
+    else:  # 'nt': out = a b^T: ga = g b, gb = g^T a
+        ga = _ein("...ik,...kj->...ij", g, b, _BWD)
+        gb = _ein("...ik,...ij->...kj", g, a, _BWD)
+    return _sum_to_shape(ga, a.shape), _sum_to_shape(gb, b.shape)
+
+
+_dot_fb.defvjp(_dot_fb_fwd, _dot_fb_bwd)
+
+
+def mm(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a @ b — f32 forward, bf16x3 backward."""
+    return _dot_fb("nn", a, b)
+
+
+def mtm(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a^T @ b — f32 forward, bf16x3 backward."""
+    return _dot_fb("tn", a, b)
+
+
+def mmt(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a @ b^T — f32 forward, bf16x3 backward."""
+    return _dot_fb("nt", a, b)

@@ -13,7 +13,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from vargp_tpu.gpmath.linalg import tri_solve, _HIGHEST
+from vargp_tpu.gpmath.linalg import mm, tri_solve, _HIGHEST
 
 
 def _log_diag(L: jax.Array) -> jax.Array:
@@ -41,8 +41,8 @@ def mvn_kl(
     Lq_b = jnp.broadcast_to(L_q, jnp.broadcast_shapes(L_q.shape, L_p.shape))
     diff = (mu_p - mu_q)[..., None]
     if Lp_inv is not None:
-        M = jnp.einsum("...ij,...jk->...ik", Lp_inv, Lq_b, precision=_HIGHEST)
-        w = jnp.einsum("...ij,...jk->...ik", Lp_inv, diff, precision=_HIGHEST)
+        M = mm(Lp_inv, Lq_b)
+        w = mm(Lp_inv, diff)
     else:
         M = tri_solve(L_p, Lq_b)
         w = tri_solve(L_p, diff)

@@ -268,15 +268,10 @@ def forward(
 
         # conditional prior mean K_{t,<t} K_{<t}^{-1} u_{<t} = L21 L11^{-1} u
         if L_inv is not None:
-            w = jnp.einsum(
-                "...ij,...jk->...ik",
-                L_inv[..., :c, :c],
-                u_lt[..., None],
-                precision=_HIGHEST,
-            )
+            w = gpmath.mm(L_inv[..., :c, :c], u_lt[..., None])
         else:
             w = gpmath.tri_solve(L11, u_lt[..., None])
-        prior_mu_t = jnp.einsum("...ij,...jk->...ik", L21, w, precision=_HIGHEST)[..., 0]
+        prior_mu_t = gpmath.mm(L21, w)[..., 0]
 
         # EP-style variational mean (vargp.py:151)
         mask = 1.0 if cfg.ep_var_mean else 0.0

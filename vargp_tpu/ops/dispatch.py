@@ -148,24 +148,28 @@ def _chol_and_inv_fwd(block_m, K):
 
 
 def _chol_and_inv_bwd(block_m, res, cots):
+    from vargp_tpu.gpmath.linalg import _BWD
+
     L, Linv = res
     GL, Ginv = cots
     tril = jnp.tril(jnp.ones(L.shape[-2:], L.dtype))
 
     # d(L^{-1}) = -L^{-1} dL L^{-1}  =>  L_bar += -(L^{-T} Ginv L^{-T}) . tril
+    # cotangent math runs at _BWD (bf16x3 by default — far below the
+    # ELBO gradient's MC noise floor; see linalg._BWD)
     extra = -jnp.einsum(
-        "...ji,...jk,...lk->...il", Linv, Ginv, Linv, precision=_HIGHEST
+        "...ji,...jk,...lk->...il", Linv, Ginv, Linv, precision=_BWD
     )
     GL = GL + extra * tril
 
     # Cholesky reverse rule (Murray 2016) with solves as Linv matmuls:
     #   Phi = tril(L^T GL) with halved diagonal
     #   K_bar = 0.5 * L^{-T} (Phi + Phi^T) L^{-1}
-    S = jnp.einsum("...ji,...jk->...ik", L, GL, precision=_HIGHEST)
+    S = jnp.einsum("...ji,...jk->...ik", L, GL, precision=_BWD)
     Phi = S * tril - 0.5 * jnp.eye(L.shape[-1], dtype=L.dtype) * S
     sym = Phi + jnp.swapaxes(Phi, -1, -2)
     Kbar = 0.5 * jnp.einsum(
-        "...ji,...jk,...kl->...il", Linv, sym, Linv, precision=_HIGHEST
+        "...ji,...jk,...kl->...il", Linv, sym, Linv, precision=_BWD
     )
     return (Kbar,)
 

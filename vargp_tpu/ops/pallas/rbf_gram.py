@@ -126,11 +126,13 @@ def _sum_to_shape(x, shape):
 
 
 def _rbf_gram_bwd(precision, res, g):
+    from vargp_tpu.gpmath.linalg import _BWD
+
     sx, sy, gamma2, K = res
     W = g * K  # ... x M x N
     row = jnp.sum(W, axis=-1)  # ... x M
     col = jnp.sum(W, axis=-2)  # ... x N
-    P = jax.lax.Precision.HIGHEST
+    P = _BWD  # cotangents tolerate bf16x3 (see linalg._BWD)
     dsx = jnp.einsum("...mn,...nd->...md", W, sy, precision=P) - row[..., None] * sx
     dsy = jnp.einsum("...mn,...md->...nd", W, sx, precision=P) - col[..., None] * sy
     # dK/dgamma2 = K / gamma2 elementwise

@@ -32,7 +32,14 @@ def device_trace(log_dir: str | None = None):
 
 
 def parse_trace(log_dir: str) -> dict[str, float]:
-    """Total device duration (ms) per op name from the latest trace file."""
+    """Total device duration (ms) per op name from the latest trace file.
+
+    Only the device process's "XLA Ops" thread is counted: the raw trace
+    also carries host-side python/runtime events and the nested
+    Steps / XLA Modules rows that span the same wall time — summing every
+    "X" event over-counts by >10x (this bug skewed round-1 kernel
+    microbenchmarks; see ROADMAP item 2).
+    """
     files = sorted(
         glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"), recursive=True)
     )
@@ -40,9 +47,23 @@ def parse_trace(log_dir: str) -> dict[str, float]:
         return {}
     with gzip.open(files[-1]) as f:
         trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    device_pids = set()
+    op_tids = {}  # pid -> tid of its "XLA Ops" row
+    for e in events:
+        if e.get("ph") == "M":
+            if e.get("name") == "process_name" and "/device:" in e["args"].get(
+                "name", ""
+            ):
+                device_pids.add(e["pid"])
+            elif e.get("name") == "thread_name" and e["args"].get("name") == "XLA Ops":
+                op_tids[e["pid"]] = e["tid"]
     durations = collections.Counter()
-    for e in trace.get("traceEvents", []):
+    for e in events:
         if e.get("ph") == "X" and "dur" in e:
+            pid = e.get("pid")
+            if pid not in device_pids or e.get("tid") != op_tids.get(pid):
+                continue
             name = e.get("name", "?")
             if name.startswith("$"):
                 continue
