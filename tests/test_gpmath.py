@@ -323,3 +323,54 @@ def test_chol_and_inv_blocked_matches_monolithic():
             np.broadcast_to(np.eye(S, dtype=np.float32), (2, S, S)),
             atol=5e-3,
         )
+
+
+def test_mixed_precision_matmul_vjps():
+    """mm/mtm/mmt (f32 fwd, bf16x3 bwd) must match plain einsum values AND
+    gradients exactly on CPU (precision hints are TPU-only)."""
+    from vargp_tpu.gpmath.linalg import mm, mtm, mmt
+
+    rng = np.random.default_rng(0)
+    a = jnp.asarray(rng.standard_normal((2, 5, 4)).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal((2, 4, 3)).astype(np.float32))
+
+    cases = [
+        (mm, a, b, "...ij,...jk->...ik"),
+        (mtm, jnp.swapaxes(a, -1, -2), b, "...ji,...jk->...ik"),
+        (mmt, a, jnp.swapaxes(b, -1, -2), "...ij,...kj->...ik"),
+    ]
+    for fn, x, y, pat in cases:
+        ref = jnp.einsum(pat, x, y)
+        np.testing.assert_allclose(fn(x, y), ref, rtol=1e-6)
+
+        def loss_fn(x, y, fn=fn):
+            return jnp.sum(jnp.sin(fn(x, y)))
+
+        def loss_ref(x, y, pat=pat):
+            return jnp.sum(jnp.sin(jnp.einsum(pat, x, y)))
+
+        gx, gy = jax.grad(loss_fn, argnums=(0, 1))(x, y)
+        rx, ry = jax.grad(loss_ref, argnums=(0, 1))(x, y)
+        np.testing.assert_allclose(gx, rx, rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(gy, ry, rtol=1e-5, atol=1e-6)
+
+
+def test_mixed_precision_matmul_broadcast_grads():
+    """Broadcast batch dims must sum correctly in the custom backward."""
+    from vargp_tpu.gpmath.linalg import mm
+
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal((5, 4)).astype(np.float32))  # broadcast
+    b = jnp.asarray(rng.standard_normal((3, 2, 4, 3)).astype(np.float32))
+
+    def loss_fn(a, b):
+        return jnp.sum(mm(a, b) ** 2)
+
+    def loss_ref(a, b):
+        return jnp.sum(jnp.einsum("...ij,...jk->...ik", a, b) ** 2)
+
+    ga, gb = jax.grad(loss_fn, argnums=(0, 1))(a, b)
+    ra, rb = jax.grad(loss_ref, argnums=(0, 1))(a, b)
+    assert ga.shape == a.shape and gb.shape == b.shape
+    np.testing.assert_allclose(ga, ra, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(gb, rb, rtol=1e-5, atol=1e-6)

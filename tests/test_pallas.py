@@ -128,3 +128,17 @@ class TestCholInv:
         g_pal = jax.grad(f_pal)(K)
         sym = lambda A: 0.5 * (np.asarray(A) + np.swapaxes(np.asarray(A), -1, -2))
         np.testing.assert_allclose(sym(g_pal), sym(g_ref), rtol=2e-2, atol=2e-3)
+
+
+@pytest.mark.parametrize("unrolled", [False, True])
+def test_diag_chol_pallas_interpret(unrolled):
+    """Batch-vectorized 128-block Cholesky kernel vs lax reference."""
+    from vargp_tpu.ops.pallas.chol_panel import diag_chol_pallas
+
+    rng = np.random.default_rng(0)
+    A = rng.standard_normal((5, 128, 128)).astype(np.float32)
+    K = A @ A.transpose(0, 2, 1) / 128 + 2.0 * np.eye(128, dtype=np.float32)
+    L = np.asarray(
+        diag_chol_pallas(jnp.asarray(K), interpret=True, unrolled=unrolled)
+    )
+    np.testing.assert_allclose(L, np.linalg.cholesky(K), atol=2e-5)

@@ -91,9 +91,15 @@ def _tri_inv_newton(L: jax.Array) -> jax.Array:
     inv_d = 1.0 / jnp.diagonal(L, axis1=-2, axis2=-1)
     X = eye * inv_d[..., :, None]
     two_eye = 2.0 * eye
-    for _ in range(steps):
-        LX = jnp.einsum("...ij,...jk->...ik", L, X, precision=_HIGHEST)
-        X = jnp.einsum("...ij,...jk->...ik", X, two_eye - LX, precision=_HIGHEST)
+    # Intermediate iterations run bf16x3 (HIGH): the final HIGHEST pass is
+    # one more Newton contraction, so it polishes the bf16x3 residual
+    # (~4e-5) back to f32 exactness (measured 1.8e-7 vs 1.2e-7 all-HIGHEST
+    # at (90,128,128)) at ~0.6x the cost.
+    high = jax.lax.Precision.HIGH
+    for s in range(steps):
+        p = _HIGHEST if s == steps - 1 else high
+        LX = jnp.einsum("...ij,...jk->...ik", L, X, precision=p)
+        X = jnp.einsum("...ij,...jk->...ik", X, two_eye - LX, precision=p)
     return X
 
 
@@ -168,30 +174,47 @@ def tri_inv(L: jax.Array, block: int = _TRI_INV_BLOCK) -> jax.Array:
     Sp = nb * block
     if Sp != S:
         # pad with an identity tail: inverse of blockdiag(L, I) keeps the
-        # leading S x S block exact
-        Lp = jnp.zeros((*batch, Sp, Sp), L.dtype) + jnp.eye(Sp, dtype=L.dtype)
-        L = Lp.at[..., :S, :S].set(L)
+        # leading S x S block exact.  jnp.pad + a constant diag-tail add
+        # lowers to a cheap pad op; the .at[].set formulation costs a
+        # ~10x-slower dynamic-update-slice on TPU (device trace).
+        npad = Sp - S
+        pad_width = [(0, 0)] * len(batch) + [(0, npad), (0, npad)]
+        tail_eye = jnp.diag(
+            jnp.concatenate(
+                [jnp.zeros((S,), L.dtype), jnp.ones((npad,), L.dtype)]
+            )
+        )
+        L = jnp.pad(L, pad_width) + tail_eye
 
-    # batched matmul-only inversion of the nb diagonal blocks
+    # batched matmul-only inversion of the nb diagonal blocks; stacking on
+    # a NEW LEADING axis keeps the (8,128)-tiled layout of the trailing
+    # dims (axis=-3 stacking forced a relayout copy of the whole stack)
     diag_blocks = jnp.stack(
         [L[..., i * block : (i + 1) * block, i * block : (i + 1) * block]
          for i in range(nb)],
-        axis=-3,
-    )  # (..., nb, B, B)
+        axis=0,
+    )  # (nb, ..., B, B)
     dinv = _tri_inv_newton(diag_blocks)
 
-    X = jnp.zeros_like(L)
-    X = X.at[..., :block, :block].set(dinv[..., 0, :, :])
+    # row-block assembly by concatenation (scatter-free):
+    #   X[i,i] = inv(L[i,i]);   X[i,:i] = -X[i,i] @ L[i,:i] @ X[:i,:i]
+    X = jnp.concatenate(
+        [dinv[0], jnp.zeros((*batch, block, Sp - block), L.dtype)], axis=-1
+    )  # rows 0..block, full width
     for i in range(1, nb):
         r0, r1 = i * block, (i + 1) * block
         Li = L[..., r0:r1, :r0]
-        Xprev = X[..., :r0, :r0]
-        prod = jnp.einsum("...ij,...jk->...ik", Li, Xprev, precision=_HIGHEST)
-        row = -jnp.einsum(
-            "...ij,...jk->...ik", dinv[..., i, :, :], prod, precision=_HIGHEST
+        prod = jnp.einsum(
+            "...ij,...jk->...ik", Li, X[..., :r0], precision=_HIGHEST
         )
-        X = X.at[..., r0:r1, :r0].set(row)
-        X = X.at[..., r0:r1, r0:r1].set(dinv[..., i, :, :])
+        row = -jnp.einsum(
+            "...ij,...jk->...ik", dinv[i], prod, precision=_HIGHEST
+        )
+        Xrow = jnp.concatenate(
+            [row, dinv[i], jnp.zeros((*batch, block, Sp - r1), L.dtype)],
+            axis=-1,
+        )
+        X = jnp.concatenate([X, Xrow], axis=-2)
 
     return X[..., :S, :S]
 

@@ -94,8 +94,58 @@ def _diag_chol_kernel(a_ref, out_ref):
                 work[:, :, c1:] = work[:, :, c1:] - acc
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def diag_chol_pallas(K: jax.Array, interpret: bool = False) -> jax.Array:
+def _diag_chol_kernel_unrolled(a_ref, out_ref):
+    """Fully static-unrolled variant: no fori_loop, every column index a
+    python constant, rank-1 steps touch only the (G, BS, CH) chunk slab.
+    ~3x fewer per-step instructions than the rolled kernel (no masked
+    column extraction / pivot reduce — static lane indexing instead), at
+    the cost of a much larger Mosaic program (compile-time risk)."""
+    work = out_ref
+    work[...] = a_ref[...]
+    rows_b = jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)  # (1, BS)
+
+    for ch in range(BS // CH):
+        c0 = ch * CH
+        slab = work[:, :, c0 : c0 + CH]  # (G, BS, CH) value
+        cols = []
+        for j in range(CH):
+            jj = c0 + j
+            col = slab[:, :, j]  # (G, BS) static lane index
+            G = col.shape[0]
+            piv = col[:, jj].reshape(G, 1)  # static
+            l = jnp.where(
+                rows_b >= jj,
+                col * jax.lax.rsqrt(jnp.maximum(piv, 1e-30)),
+                0.0,
+            )
+            cols.append(l)
+            if j + 1 < CH:
+                # rank-1 update of the remaining chunk columns
+                lrow = l[:, c0 + j + 1 : c0 + CH]  # (G, CH-j-1)
+                upd = l[:, :, None] * lrow[:, None, :]
+                slab = jnp.concatenate(
+                    [slab[:, :, : j + 1], slab[:, :, j + 1 :] - upd], axis=-1
+                )
+        Lc = jnp.stack(cols, axis=-1)  # (G, BS, CH)
+        work[:, :, c0 : c0 + CH] = Lc
+
+        c1 = c0 + CH
+        if c1 < BS:
+            Lcr = Lc[:, c1:, :]
+            for g0 in range(0, CH, GROUP):
+                acc = None
+                for j in range(g0, g0 + GROUP):
+                    lj = Lc[:, :, j]
+                    ljr = Lcr[:, :, j]
+                    u = lj[:, :, None] * ljr[:, None, :]
+                    acc = u if acc is None else acc + u
+                work[:, :, c1:] = work[:, :, c1:] - acc
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "unrolled"))
+def diag_chol_pallas(
+    K: jax.Array, interpret: bool = False, unrolled: bool = False
+) -> jax.Array:
     """Batched lower Cholesky of (..., 128, 128) SPD blocks — one Pallas
     program for the whole batch.  Caller applies jitter."""
     batch = K.shape[:-2]
@@ -103,7 +153,7 @@ def diag_chol_pallas(K: jax.Array, interpret: bool = False) -> jax.Array:
     Kb = K.reshape(-1, BS, BS).astype(jnp.float32)
     G = Kb.shape[0]
     out = pl.pallas_call(
-        _diag_chol_kernel,
+        _diag_chol_kernel_unrolled if unrolled else _diag_chol_kernel,
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((G, BS, BS), jnp.float32),
