@@ -279,6 +279,31 @@ def mm(a: jax.Array, b: jax.Array) -> jax.Array:
     return _dot_fb("nn", a, b)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _dot_hh(kind: str, a: jax.Array, b: jax.Array) -> jax.Array:
+    """Like _dot_fb but bf16x3 in BOTH directions — for outputs consumed
+    only by Monte-Carlo-sampled quantities (predictive marginals), where
+    bf16x3 forward error (~1e-5 relative) sits far below the n_f/n_v
+    sampling noise."""
+    pat = {"nn": "...ij,...jk->...ik", "tn": "...ji,...jk->...ik",
+           "nt": "...ij,...kj->...ik"}[kind]
+    high = jax.lax.Precision.HIGH
+    return jnp.einsum(pat, a, b, precision=high)
+
+
+_dot_hh.defvjp(lambda kind, a, b: (_dot_hh(kind, a, b), (a, b)), _dot_fb_bwd)
+
+
+def mm_h(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a @ b — bf16x3 forward AND backward (MC-noise-dominated outputs)."""
+    return _dot_hh("nn", a, b)
+
+
+def mtm_h(a: jax.Array, b: jax.Array) -> jax.Array:
+    """a^T @ b — bf16x3 forward and backward."""
+    return _dot_hh("tn", a, b)
+
+
 def mtm(a: jax.Array, b: jax.Array) -> jax.Array:
     """a^T @ b — f32 forward, bf16x3 backward."""
     return _dot_fb("tn", a, b)

@@ -138,6 +138,14 @@ def _chol_and_inv_impl(K, block_m=None):
 
     if block_m is not None and K.shape[-1] % block_m == 0:
         return chol_and_inv_blocked(K, block_m)
+    S = K.shape[-1]
+    if S % 3 == 0 and 96 <= S // 3 <= 128:
+        # three-way split measured faster than the monolithic custom-call
+        # at the flagship S=300 (1.73 vs 1.88 ms incl. inverse on v5e):
+        # XLA's internal 64-panel trailing updates lose to three smaller
+        # custom-calls glued with our MXU matmuls.  Kept narrow (~S=300-384)
+        # where it was actually measured to win.
+        return chol_and_inv_blocked(K, S // 3)
     L = jnp.linalg.cholesky(K)
     return L, tri_inv(L)
 
