@@ -273,3 +273,33 @@ def test_predict_probabilities():
     assert p.shape == (7, 4)
     np.testing.assert_allclose(p.sum(-1), 1.0, rtol=1e-4)
     assert (p >= 0).all()
+
+
+def test_cross_gram_matches_broadcast_gram():
+    """cross_gram (shared-x formulation + hand VJP) must match the generic
+    gram on broadcast x in values AND gradients wrt z/theta."""
+    import numpy as np
+
+    from vargp_tpu.kernels import cross_gram, gram
+
+    rng = np.random.default_rng(3)
+    H, O, M, B, D = 2, 3, 5, 7, 4
+    theta = jnp.asarray(rng.standard_normal((H, D + 1)).astype(np.float32) * 0.3)
+    z = jnp.asarray(rng.standard_normal((O, M, D)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+
+    xb = jnp.broadcast_to(x[None], (O, B, D))
+    ref = gram(theta, z, xb)
+    got = cross_gram(theta, z, x)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6)
+
+    def loss_ref(theta, z):
+        return jnp.sum(jnp.sin(gram(theta, z, xb)))
+
+    def loss_got(theta, z):
+        return jnp.sum(jnp.sin(cross_gram(theta, z, x)))
+
+    gt_r, gz_r = jax.grad(loss_ref, argnums=(0, 1))(theta, z)
+    gt_g, gz_g = jax.grad(loss_got, argnums=(0, 1))(theta, z)
+    np.testing.assert_allclose(gz_g, gz_r, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(gt_g, gt_r, rtol=1e-4, atol=1e-5)

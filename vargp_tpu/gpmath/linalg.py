@@ -120,31 +120,47 @@ def chol_and_inv_blocked(K: jax.Array, block_m: int):
         L = jnp.linalg.cholesky(K)
         return L, _tri_inv_newton(L)
 
-    mm = lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b, precision=_HIGHEST)
+    mm_ = lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b, precision=_HIGHEST)
     mmT = lambda a, b: jnp.einsum("...ij,...kj->...ik", a, b, precision=_HIGHEST)
+    batch = K.shape[:-2]
 
-    L = jnp.zeros_like(K)
-    A = K
+    # factorization: keep the trailing submatrix and the finished column
+    # blocks as separate arrays, assembled by concatenation at the end —
+    # .at[].set/.add scatters cost ~0.6 ms/step on TPU (device trace)
+    A = K  # current trailing submatrix, shrinking by block_m per step
+    cols = []  # finished (S - r0) x block_m column blocks of L
     dinvs = []
     for t in range(T):
-        r0, r1 = t * block_m, (t + 1) * block_m
-        Ld = jnp.linalg.cholesky(A[..., r0:r1, r0:r1])
+        Ld = jnp.linalg.cholesky(A[..., :block_m, :block_m])
         Dinv = _tri_inv_newton(Ld)
         dinvs.append(Dinv)
-        L = L.at[..., r0:r1, r0:r1].set(Ld)
         if t + 1 < T:
-            C = A[..., r1:, r0:r1]
+            C = A[..., block_m:, :block_m]
             Lcol = mmT(C, Dinv)  # C Ld^{-T}
-            L = L.at[..., r1:, r0:r1].set(Lcol)
-            A = A.at[..., r1:, r1:].add(-mmT(Lcol, Lcol))
+            cols.append(jnp.concatenate([Ld, Lcol], axis=-2))
+            A = A[..., block_m:, block_m:] - mmT(Lcol, Lcol)
+        else:
+            cols.append(Ld)
 
-    X = jnp.zeros_like(K)
-    X = X.at[..., :block_m, :block_m].set(dinvs[0])
+    def pad_col(c, t):
+        top = jnp.zeros((*batch, t * block_m, block_m), K.dtype)
+        return jnp.concatenate([top, c], axis=-2) if t else c
+
+    L = jnp.concatenate([pad_col(c, t) for t, c in enumerate(cols)], axis=-1)
+
+    # inverse: row-block assembly by concatenation
+    X = jnp.concatenate(
+        [dinvs[0], jnp.zeros((*batch, block_m, S - block_m), K.dtype)],
+        axis=-1,
+    )
     for t in range(1, T):
         r0, r1 = t * block_m, (t + 1) * block_m
-        row = -mm(dinvs[t], mm(L[..., r0:r1, :r0], X[..., :r0, :r0]))
-        X = X.at[..., r0:r1, :r0].set(row)
-        X = X.at[..., r0:r1, r0:r1].set(dinvs[t])
+        row = -mm_(dinvs[t], mm_(L[..., r0:r1, :r0], X[..., :t * block_m, :r0]))
+        Xrow = jnp.concatenate(
+            [row, dinvs[t], jnp.zeros((*batch, block_m, S - r1), K.dtype)],
+            axis=-1,
+        )
+        X = jnp.concatenate([X, Xrow], axis=-2)
     return L, X
 
 

@@ -6,6 +6,7 @@ scale), and a deep (DKL) variant applying an MLP feature map first.
 """
 
 from vargp_tpu.kernels.rbf import (
+    cross_gram,
     RBFParams,
     RBFPrior,
     init_rbf,
@@ -23,6 +24,7 @@ from vargp_tpu.kernels.deep import (
 )
 
 __all__ = [
+    "cross_gram",
     "RBFParams",
     "RBFPrior",
     "init_rbf",

@@ -9,6 +9,7 @@ calls the fused ``ops.rbf_gram`` (MXU matmul + elementwise exp); hyper and
 class axes ride as leading batch dims end to end.
 """
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -105,3 +106,79 @@ def gram_diag(theta: jax.Array) -> jax.Array:
     """Diagonal of k(x,x) = gamma^2, shaped (n_hypers, 1, 1)
     (kernels.py:58-60)."""
     return jnp.exp(2.0 * theta[:, -1])[:, None, None]
+
+
+# ---------------------------------------------------------------------------
+# Specialized cross-Gram: shared x across class heads
+# ---------------------------------------------------------------------------
+#
+# The predictive marginal needs K(z_all, x) where x (the data batch) is the
+# SAME for every class head while z carries an (out_size,) axis.  Routing it
+# through ``gram`` broadcasts x to (H, O, B, D) — at bench shapes a 47 MB
+# materialization in the forward AND in every AD cotangent (device trace:
+# ~0.6 ms of backward dot_generals + relayouts).  This formulation keeps x
+# un-broadcast: the only O(H*O*M*B) object is the Gram itself, the widest
+# intermediate is (H, B, D), and the hand-derived VJP never forms a
+# per-class cotangent for x (x is data — no gradient).
+
+
+def _cross_gram_fwd_math(z, x, invs2, gamma2, prec):
+    xs = x[None] * invs2[:, None, :]  # (H, B, D)
+    cross = jnp.einsum("oid,hbd->hoib", z, xs, precision=prec)
+    zz = jnp.einsum("oid,hd->hoi", z * z, invs2, precision=prec)
+    xx = jnp.einsum("bd,hd->hb", x * x, invs2, precision=prec)
+    d2 = jnp.maximum(zz[..., None] + xx[:, None, None, :] - 2.0 * cross, 0.0)
+    return gamma2[:, None, None, None] * jnp.exp(-0.5 * d2), xs
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _cross_gram_p(z, x, invs2, gamma2, prec):
+    K, _ = _cross_gram_fwd_math(z, x, invs2, gamma2, prec)
+    return K
+
+
+def _cross_gram_p_fwd(z, x, invs2, gamma2, prec):
+    K, xs = _cross_gram_fwd_math(z, x, invs2, gamma2, prec)
+    return K, (z, x, invs2, gamma2, xs, K)
+
+
+def _cross_gram_p_bwd(prec, res, g):
+    z, x, invs2, gamma2, xs, K = res
+    W = g * K  # (H, O, M, B)
+    gd2 = -0.5 * W
+    R = jnp.sum(gd2, axis=-1)  # (H, O, M)
+    C = jnp.sum(gd2, axis=(1, 2))  # (H, B)
+
+    # dz: zz term (outer, cheap) + cross term (the one big contraction)
+    t_zz = 2.0 * z * jnp.einsum("hoi,hd->oid", R, invs2, precision=prec)
+    t_cross = -2.0 * jnp.einsum("hoib,hbd->oid", gd2, xs, precision=prec)
+    dz = t_zz + t_cross
+
+    # d(invs2): zz + xx + cross contributions, each reduced to (H, D)
+    P = jnp.einsum("hoib,oid->hbd", gd2, z, precision=prec)  # (H, B, D)
+    d_invs2 = (
+        jnp.einsum("hoi,oid->hd", R, z * z, precision=prec)
+        + jnp.einsum("hb,bd->hd", C, x * x, precision=prec)
+        - 2.0 * jnp.einsum("hbd,bd->hd", P, x, precision=prec)
+    )
+    d_gamma2 = jnp.sum(g * K, axis=(1, 2, 3)) / gamma2
+    return dz, jnp.zeros_like(x), d_invs2, d_gamma2
+
+
+_cross_gram_p.defvjp(_cross_gram_p_fwd, _cross_gram_p_bwd)
+
+
+def cross_gram(theta: jax.Array, z: jax.Array, x: jax.Array,
+               precision: str = "high") -> jax.Array:
+    """K(z, x) for class-stacked z (O, M, D) against a shared batch x (B, D).
+
+    Returns (n_hypers, O, M, B) — numerically identical to
+    ``gram(theta, z, broadcast(x))`` (tested) with no per-class x
+    materialization.  Default bf16x3: the cross-Gram is never factorized.
+    """
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.HIGH
+    )
+    invs2 = jnp.exp(-2.0 * theta[:, :-1])  # (H, D)
+    gamma2 = jnp.exp(2.0 * theta[:, -1])  # (H,)
+    return _cross_gram_p(z, x, invs2, gamma2, prec)

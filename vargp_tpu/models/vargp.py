@@ -28,6 +28,7 @@ from vargp_tpu.kernels import (
     MLPParams,
     RBFParams,
     RBFPrior,
+    cross_gram,
     deep_gram,
     default_prior,
     gram,
@@ -210,11 +211,16 @@ def marginal_diag(
 ):
     """Per-batch diagonal predictive marginal from a cached posterior
     (parity: compute_pf_diag, vargp.py:90-113)."""
-    gram_ = _gram_fn(params, cfg)
-    xb = jnp.broadcast_to(x[None], (cfg.out_size, *x.shape))
     # cross-Gram is never factorized: bf16x3 is accurate enough and ~2x
     # cheaper on the MXU than full f32
-    Kzx = gram_(cp.theta, cp.z_all, xb, precision="high")  # (H, O, SM, B)
+    if cfg.dkl:
+        gram_ = _gram_fn(params, cfg)
+        xb = jnp.broadcast_to(x[None], (cfg.out_size, *x.shape))
+        Kzx = gram_(cp.theta, cp.z_all, xb, precision="high")  # (H, O, SM, B)
+    else:
+        # specialized path: x shared across class heads, never broadcast
+        # to (H, O, B, D) (kernels.rbf.cross_gram)
+        Kzx = cross_gram(cp.theta, cp.z_all, x, precision="high")
     if chain_mask is not None:
         Kzx = Kzx * _row_mask(chain_mask, cfg.M)[:, None]
     kxx_diag = gram_diag(cp.theta)  # (H, 1, 1)
