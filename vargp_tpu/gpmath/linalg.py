@@ -212,26 +212,41 @@ def tri_inv(L: jax.Array, block: int = _TRI_INV_BLOCK) -> jax.Array:
     )  # (nb, ..., B, B)
     dinv = _tri_inv_newton(diag_blocks)
 
-    # row-block assembly by concatenation (scatter-free):
+    # Row-block assembly, scatter-free AND without a growing concat chain:
     #   X[i,i] = inv(L[i,i]);   X[i,:i] = -X[i,i] @ L[i,:i] @ X[:i,:i]
-    X = jnp.concatenate(
-        [dinv[0], jnp.zeros((*batch, block, Sp - block), L.dtype)], axis=-1
-    )  # rows 0..block, full width
+    # Each finished row is kept FULL WIDTH (zeros beyond its block column),
+    # so row i's prefix product is a plain sum of block x Sp matmuls over
+    # the finished rows — no intermediate X materialization.  A growing
+    # jnp.concatenate carry copies O(nb^2) blocks (measured +33% on the
+    # M=1024 step at nb=8); .at[].set scatters cost ~10x per byte.  This
+    # form copies each row exactly twice (its own 3-piece concat + the
+    # final stack).
+    def full_row(i, row_left):
+        r0, r1 = i * block, (i + 1) * block
+        parts = []
+        if i:
+            parts.append(row_left)  # (..., block, r0)
+        parts.append(dinv[i])
+        if Sp - r1:
+            parts.append(jnp.zeros((*batch, block, Sp - r1), L.dtype))
+        return jnp.concatenate(parts, axis=-1)
+
+    rows = [full_row(0, None)]
     for i in range(1, nb):
         r0, r1 = i * block, (i + 1) * block
-        Li = L[..., r0:r1, :r0]
-        prod = jnp.einsum(
-            "...ij,...jk->...ik", Li, X[..., :r0], precision=_HIGHEST
+        acc = None
+        for j in range(i):
+            Lij = L[..., r0:r1, j * block : (j + 1) * block]
+            contrib = jnp.einsum(
+                "...ij,...jk->...ik", Lij, rows[j][..., :r0], precision=_HIGHEST
+            )
+            acc = contrib if acc is None else acc + contrib
+        row_left = -jnp.einsum(
+            "...ij,...jk->...ik", dinv[i], acc, precision=_HIGHEST
         )
-        row = -jnp.einsum(
-            "...ij,...jk->...ik", dinv[i], prod, precision=_HIGHEST
-        )
-        Xrow = jnp.concatenate(
-            [row, dinv[i], jnp.zeros((*batch, block, Sp - r1), L.dtype)],
-            axis=-1,
-        )
-        X = jnp.concatenate([X, Xrow], axis=-2)
+        rows.append(full_row(i, row_left))
 
+    X = jnp.concatenate(rows, axis=-2)
     return X[..., :S, :S]
 
 
