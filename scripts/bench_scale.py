@@ -1,3 +1,14 @@
+"""Large-configuration step benchmarks (wall clock over 50-step device blocks).
+
+Measures the 10-task padded-chain step (sum M = 1000) and the M=1024
+single-task step on the real chip.  NOTE: make_device_train_fn donates
+params/opt_state — always thread the RETURNED arrays back in; re-passing
+the originals surfaces through the axon tunnel as a bare
+`INVALID_ARGUMENT: TPU backend error` (not jax's usual deleted-array
+message).  Wall clocks through the tunnel are ~+/-15% at these sizes; use
+scripts/trace_step.py for per-op claims where the profiler can cope.
+"""
+
 import sys, os; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import time, jax, jax.numpy as jnp
 import __graft_entry__ as g

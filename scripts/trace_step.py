@@ -1,3 +1,6 @@
+"""Per-op device-time trace of the flagship training step (the successor
+of profile_step.py using the device-thread-only trace accounting)."""
+
 import sys, os; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import glob, gzip, json, collections, tempfile
 import jax, jax.numpy as jnp
