@@ -388,3 +388,17 @@ def test_vec2tril_custom_vjp_matches_ad():
     g1 = jax.grad(lambda v: jnp.sum(vec2tril(v, m) * w))(vec)
     g2 = jax.grad(lambda v: jnp.sum(_vec2tril_impl(m, v) * w))(vec)
     np.testing.assert_allclose(g1, g2, rtol=1e-6, atol=1e-7)
+
+
+def test_vec2tril_vjp_large_m():
+    """Scale-path regression guard: the hand VJP must stay exact at the
+    M=256 packed size (the M=1024 production shape is CPU-prohibitive)."""
+    from vargp_tpu.gpmath.tril import _vec2tril_impl, tril_size, vec2tril
+
+    rng = np.random.default_rng(7)
+    m = 256
+    vec = jnp.asarray(rng.standard_normal((2, tril_size(m))).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((2, m, m)).astype(np.float32))
+    g1 = jax.grad(lambda v: jnp.sum(vec2tril(v, m) * w))(vec)
+    g2 = jax.grad(lambda v: jnp.sum(_vec2tril_impl(m, v) * w))(vec)
+    np.testing.assert_allclose(g1, g2, rtol=1e-6, atol=1e-6)
