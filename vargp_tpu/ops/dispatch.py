@@ -139,12 +139,15 @@ def _chol_and_inv_impl(K, block_m=None):
     if block_m is not None and K.shape[-1] % block_m == 0:
         return chol_and_inv_blocked(K, block_m)
     S = K.shape[-1]
+    # ~100-wide blocked split beats the monolithic custom-call when the
+    # block count stays small: XLA's internal 64-panel trailing updates
+    # lose to fewer, smaller custom-calls glued with our MXU matmuls.
+    # Measured (incl. inverse, v5e, batch 30): S=300 1.73 vs 1.88 ms;
+    # S=500 2.43 vs 3.13; S=800 5.71 vs 7.78; S=1000 10.3 vs 10.2 (wash
+    # — sequential call latency catches up at T=10, so cap at T=8).
+    if S % 100 == 0 and 3 <= S // 100 <= 8:
+        return chol_and_inv_blocked(K, 100)
     if S % 3 == 0 and 96 <= S // 3 <= 128:
-        # three-way split measured faster than the monolithic custom-call
-        # at the flagship S=300 (1.73 vs 1.88 ms incl. inverse on v5e):
-        # XLA's internal 64-panel trailing updates lose to three smaller
-        # custom-calls glued with our MXU matmuls.  Kept narrow (~S=300-384)
-        # where it was actually measured to win.
         return chol_and_inv_blocked(K, S // 3)
     L = jnp.linalg.cholesky(K)
     return L, tri_inv(L)
