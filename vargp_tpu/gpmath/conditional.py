@@ -287,5 +287,10 @@ def whitened_marginal_diag(
     diag1 = jnp.sum(jnp.square(W), axis=-2)
     C = mtm_h(LLS, W)
     diag2 = jnp.sum(jnp.square(C), axis=-2)
-    f_var = Kxx_diag - diag1 + diag2
+    # Clamp: when a test point is near an inducing point the conditional
+    # variance is ~0 and bf16x3 rounding in the L_inv branch can push
+    # Kxx_diag - diag1 + diag2 slightly negative, producing NaN in the
+    # sqrt downstream (softmax_sample_logits).  Exact-arithmetic value is
+    # >= diag2 >= 0, so the clamp never changes a well-conditioned result.
+    f_var = jnp.maximum(Kxx_diag - diag1 + diag2, 0.0)
     return f_mean, f_var

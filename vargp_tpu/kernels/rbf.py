@@ -181,4 +181,8 @@ def cross_gram(theta: jax.Array, z: jax.Array, x: jax.Array,
     )
     invs2 = jnp.exp(-2.0 * theta[:, :-1])  # (H, D)
     gamma2 = jnp.exp(2.0 * theta[:, -1])  # (H,)
-    return _cross_gram_p(z, x, invs2, gamma2, prec)
+    # x is data by contract: the hand VJP carries NO x cotangent, so make
+    # that explicit here rather than letting a future caller silently get
+    # zeros.  Input-sensitivity / DKL feature paths must differentiate
+    # through the features BEFORE calling cross_gram (models/vargp.py does).
+    return _cross_gram_p(z, jax.lax.stop_gradient(x), invs2, gamma2, prec)

@@ -12,17 +12,32 @@ from vargp_tpu.parallel.mesh import make_mesh
 
 
 def initialize(coordinator_address=None, num_processes=None, process_id=None):
-    """Initialize the JAX distributed runtime (no-op if single-process or
-    already initialized).  On Cloud TPU all arguments are auto-detected."""
+    """Initialize the JAX distributed runtime.
+
+    Safe to call twice (second call is a no-op).  When the caller passes NO
+    arguments and auto-detection finds no cluster environment, this degrades
+    to single-process mode; but an EXPLICITLY requested multi-process setup
+    that fails raises — a misconfigured pod run must not silently proceed
+    single-process.
+    """
+    explicit = coordinator_address is not None or num_processes is not None
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
             num_processes=num_processes,
             process_id=process_id,
         )
-    except (RuntimeError, ValueError):
-        # already initialized, or single-process environment
-        pass
+    except (RuntimeError, ValueError) as e:
+        if "already initialized" in str(e).lower():
+            return
+        if explicit:
+            # an explicitly requested multi-process setup that fails must
+            # raise — a misconfigured pod run must not silently proceed
+            # single-process
+            raise
+        # implicit call: auto-detection found no cluster env (or the
+        # backend is already up in a single-process test session) —
+        # single-process mode
 
 
 def global_mesh(model_parallel: int | None = None):
