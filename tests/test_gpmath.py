@@ -267,6 +267,7 @@ class TestTorchOracle:
         np.testing.assert_allclose(np.asarray(var), ref_var.numpy(), rtol=1e-2, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_tri_inv_matches_solve():
     rng = np.random.default_rng(20)
     for n in (5, 64, 200, 300):
@@ -308,6 +309,7 @@ def test_ar_joint_posterior_fast_matches_fold():
     )
 
 
+@pytest.mark.slow
 def test_chol_and_inv_blocked_matches_monolithic():
     rng = np.random.default_rng(11)
     from vargp_tpu.gpmath.linalg import chol_and_inv_blocked
@@ -316,6 +318,33 @@ def test_chol_and_inv_blocked_matches_monolithic():
         S = T * m
         K = rand_spd(rng, 2, n=S)
         L, Linv = chol_and_inv_blocked(jnp.asarray(K), m)
+        expect = np.linalg.cholesky(K)
+        np.testing.assert_allclose(np.asarray(L), expect, rtol=2e-3, atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(Linv) @ expect,
+            np.broadcast_to(np.eye(S, dtype=np.float32), (2, S, S)),
+            atol=5e-3,
+        )
+
+
+def test_chol_and_inv_dispatch_general_shapes():
+    """The shape-driven dispatch rule (ops.dispatch._pick_block) must give
+    exact (L, L^{-1}) for chains whose sum(M) is NOT a multiple of 100 —
+    divisor-blocked (250=2x125, 640=5x128) and identity-pad-fallback
+    (455 -> 512=4x128, 12.5% waste) paths alike."""
+    from vargp_tpu.ops.dispatch import _pick_block, chol_and_inv
+
+    assert _pick_block(300) == 100
+    assert _pick_block(250) == 125
+    assert _pick_block(400) == 100
+    assert _pick_block(640) == 128
+    assert _pick_block(1000) == 125
+    assert _pick_block(455) is None  # falls back to identity-pad
+
+    rng = np.random.default_rng(17)
+    for S in (250, 455):
+        K = rand_spd(rng, 2, n=S)
+        L, Linv = chol_and_inv(jnp.asarray(K))
         expect = np.linalg.cholesky(K)
         np.testing.assert_allclose(np.asarray(L), expect, rtol=2e-3, atol=1e-4)
         np.testing.assert_allclose(
@@ -390,6 +419,7 @@ def test_vec2tril_custom_vjp_matches_ad():
     np.testing.assert_allclose(g1, g2, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_vec2tril_vjp_large_m():
     """Scale-path regression guard: the hand VJP must stay exact at the
     M=256 packed size (the M=1024 production shape is CPU-prohibitive)."""

@@ -104,6 +104,7 @@ class TestCholInv:
             atol=5e-3,
         )
 
+    @pytest.mark.slow
     def test_vjp_matches_xla_composition(self):
         from vargp_tpu import gpmath
         from vargp_tpu.ops.pallas.chol_inv import chol_and_inv_pallas
@@ -130,7 +131,42 @@ class TestCholInv:
         np.testing.assert_allclose(sym(g_pal), sym(g_ref), rtol=2e-2, atol=2e-3)
 
 
+def test_diag_chol_pallas_t_interpret():
+    """v3 transposed-layout batched 128-block Cholesky vs lax reference
+    (the production diagonal-block kernel: 0.048 ms vs XLA's 0.42 ms per
+    (30,128,128) on v5e)."""
+    from vargp_tpu.ops.pallas.chol_panel import diag_chol_pallas_t
+
+    rng = np.random.default_rng(7)
+    A = rng.standard_normal((4, 128, 128)).astype(np.float32)
+    K = A @ A.transpose(0, 2, 1) / 128 + 2.0 * np.eye(128, dtype=np.float32)
+    L = np.asarray(diag_chol_pallas_t(jnp.asarray(K), interpret=True))
+    np.testing.assert_allclose(L, np.linalg.cholesky(K), atol=2e-5)
+
+
+def test_diag_chol_pad_path_exact():
+    """_diag_chol's identity-pad route: chol(blockdiag(K, I)) slices back
+    to chol(K) EXACTLY (no approximation in the padding trick)."""
+    from vargp_tpu.ops.pallas.chol_panel import diag_chol_pallas_t
+
+    rng = np.random.default_rng(8)
+    S = 100
+    A = rng.standard_normal((3, S, S)).astype(np.float32)
+    K = A @ A.transpose(0, 2, 1) / S + 2.0 * np.eye(S, dtype=np.float32)
+    npad = 128 - S
+    Kp = np.zeros((3, 128, 128), np.float32)
+    Kp[:, :S, :S] = K
+    Kp[:, range(S, 128), range(S, 128)] = 1.0
+    Lp = np.asarray(diag_chol_pallas_t(jnp.asarray(Kp), interpret=True))
+    np.testing.assert_allclose(Lp[:, :S, :S], np.linalg.cholesky(K), atol=2e-5)
+    np.testing.assert_allclose(
+        Lp[:, S:, S:], np.broadcast_to(np.eye(npad), (3, npad, npad)), atol=1e-6
+    )
+    assert np.max(np.abs(Lp[:, S:, :S])) == 0.0
+
+
 @pytest.mark.parametrize("unrolled", [False, True])
+@pytest.mark.slow
 def test_diag_chol_pallas_interpret(unrolled):
     """Batch-vectorized 128-block Cholesky kernel vs lax reference."""
     from vargp_tpu.ops.pallas.chol_panel import diag_chol_pallas

@@ -126,6 +126,38 @@ def _chol_and_inv_p(block_m: int | None, K: jax.Array):
     return _chol_and_inv_impl(K, block_m)
 
 
+# Shape-driven blocked-split rule.  Blocks of ~96-160 with <=8 blocks beat
+# the monolithic custom-call: XLA's internal 64-panel trailing updates lose
+# to fewer, smaller custom-calls glued with our MXU matmuls.  Measured
+# (incl. inverse, v5e, batch 30): S=300 1.73 vs 1.88 ms; S=500 2.43 vs
+# 3.13; S=800 5.71 vs 7.78; S=1000 10.3 vs 10.2 (wash — sequential call
+# latency catches up as the block count grows, hence the cap).
+_BLOCK_LO, _BLOCK_HI = 96, 160
+_MAX_BLOCKS = 8
+_PAD_WASTE_LIMIT = 0.15  # identity-pad fallback only if <=15% extra rows
+
+
+def _pick_block(S: int) -> int | None:
+    """Largest-batch-friendly divisor block: any divisor of S in
+    [_BLOCK_LO, hi] with 2.._MAX_BLOCKS blocks, preferring sizes near
+    ~118 (the microbenchmark sweet spot between per-call latency and MXU
+    tile alignment).  On the Pallas backend the diagonal-block kernel
+    (gpmath.linalg._diag_chol) only takes blocks <= 128, so the upper
+    bound tightens — blocks above 128 would silently fall back to the
+    8.7x-slower XLA custom-call per diagonal block."""
+    hi = 128 if get_backend() == "pallas" else _BLOCK_HI
+    best = None
+    for T in range(2, _MAX_BLOCKS + 1):
+        if S % T:
+            continue
+        d = S // T
+        if _BLOCK_LO <= d <= hi:
+            score = abs(d - 118)
+            if best is None or score < best[1]:
+                best = (d, score)
+    return best[0] if best else None
+
+
 def _chol_and_inv_impl(K, block_m=None):
     if os.environ.get("VARGP_TPU_CHOLINV") == "pallas":
         try:
@@ -134,22 +166,32 @@ def _chol_and_inv_impl(K, block_m=None):
             return _chol_inv_call(K)
         except ImportError:
             pass
-    from vargp_tpu.gpmath.linalg import chol_and_inv_blocked, tri_inv
+    from vargp_tpu.gpmath.linalg import _diag_chol, chol_and_inv_blocked, tri_inv
 
     if block_m is not None and K.shape[-1] % block_m == 0:
         return chol_and_inv_blocked(K, block_m)
     S = K.shape[-1]
-    # ~100-wide blocked split beats the monolithic custom-call when the
-    # block count stays small: XLA's internal 64-panel trailing updates
-    # lose to fewer, smaller custom-calls glued with our MXU matmuls.
-    # Measured (incl. inverse, v5e, batch 30): S=300 1.73 vs 1.88 ms;
-    # S=500 2.43 vs 3.13; S=800 5.71 vs 7.78; S=1000 10.3 vs 10.2 (wash
-    # — sequential call latency catches up at T=10, so cap at T=8).
-    if S % 100 == 0 and 3 <= S // 100 <= 8:
-        return chol_and_inv_blocked(K, 100)
-    if S % 3 == 0 and 96 <= S // 3 <= 128:
-        return chol_and_inv_blocked(K, S // 3)
-    L = jnp.linalg.cholesky(K)
+    if S > _BLOCK_HI:
+        d = _pick_block(S)
+        if d is not None:
+            return chol_and_inv_blocked(K, d)
+        # No friendly divisor: identity-pad to the next multiple of 128
+        # when the waste is small.  chol(blockdiag(K, I)) =
+        # blockdiag(chol K, I) and likewise for the inverse, so slicing
+        # the leading S x S blocks back out is EXACT (tested).
+        Sp = -(-S // 128) * 128
+        if Sp // 128 <= _MAX_BLOCKS and (Sp - S) / S <= _PAD_WASTE_LIMIT:
+            npad = Sp - S
+            batch = K.shape[:-2]
+            pad_width = [(0, 0)] * len(batch) + [(0, npad), (0, npad)]
+            tail = jnp.diag(
+                jnp.concatenate(
+                    [jnp.zeros((S,), K.dtype), jnp.ones((npad,), K.dtype)]
+                )
+            )
+            Lp, Xp = chol_and_inv_blocked(jnp.pad(K, pad_width) + tail, 128)
+            return Lp[..., :S, :S], Xp[..., :S, :S]
+    L = _diag_chol(K) if S <= 128 else jnp.linalg.cholesky(K)
     return L, tri_inv(L)
 
 

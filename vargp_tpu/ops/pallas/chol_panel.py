@@ -26,9 +26,14 @@ explodes both):
     in groups of 8, read-modify-writing the trailing columns in place to
     keep the scoped-VMEM stack small.
 
-The surrounding panel algorithm (solve + syrk + inverse assembly, all MXU
-matmuls) lives in ``vargp_tpu.gpmath.linalg.chol_and_inv_panel`` — see
-dispatch.chol_and_inv.
+STATUS of the v2 kernels below (_diag_chol_kernel / _unrolled): kept as
+negative results — the rolled variant runs ~0.9 ms vs XLA's 0.43 ms per
+(30,128,128) (per-iteration masked-reduce overhead, 32-lane slabs), the
+unrolled variant is a Mosaic compile bomb.  The PRODUCTION kernel is the
+v3 ``diag_chol_pallas_t`` further below (0.048 ms device time on the same
+shape — 8.7x faster than XLA), wired in via
+``vargp_tpu.gpmath.linalg._diag_chol`` → ``ops.dispatch.chol_and_inv``
+(blocked split path: solve + syrk + inverse assembly, all MXU matmuls).
 
 Replaces torch.cholesky call sites (var_gp/gp_utils.py:10 et al.); the
 XLA lax.linalg path remains the correctness reference (tests/test_pallas.py).
@@ -140,6 +145,125 @@ def _diag_chol_kernel_unrolled(a_ref, out_ref):
                     u = lj[:, :, None] * ljr[:, None, :]
                     acc = u if acc is None else acc + u
                 work[:, :, c1:] = work[:, :, c1:] - acc
+
+
+# ---------------------------------------------------------------------------
+# v3: row-major-lane ("transposed") layout kernel
+# ---------------------------------------------------------------------------
+#
+# Why the v2 kernels above lose to XLA (measured 0.94 vs 0.43 ms per
+# (30,128,128)): their working slab is (G, BS, CH=32) — the LANE dimension
+# carries only 32 of 128 lanes (75% of the VPU idle on every op), the G
+# batch multiplies the sublane-tile count, and each rank-1 step pays
+# traced-index masked reduces (column extraction + pivot).
+#
+# v3 fixes all three:
+#   * The factor is built in a (G, col, row) scratch — the last (lane)
+#     dimension is the full 128 rows, so every VPU op uses all lanes, and
+#     a column of L is a STATIC sublane slice, not a masked reduce.
+#     Because K is symmetric, reading A "by columns" in this layout needs
+#     no input transpose: A[:, j, :] IS column j.
+#   * All 128 rank-1 steps are statically unrolled (panel/sub-chunk/step
+#     indices are python ints) — no traced-index masking anywhere.  Unlike
+#     the v2 unrolled variant (an 18-min Mosaic compile bomb), the factor
+#     accumulates via static scratch writes, not O(n^2) concatenate
+#     chains, so program size stays linear in BS.
+#   * Cross-panel updates are ONE left-looking MXU matmul per 32-column
+#     panel (zero-initialized scratch makes the full-K contraction exact),
+#     and cross-sub-chunk updates inside a panel are rank-8 MXU matmuls.
+#     Only the (G, 8, 128) sub-chunk slab is touched by rank-1 updates.
+#
+# A non-positive pivot produces NaN via rsqrt (no clamp) so failures stay
+# detectable — see ADVICE r2.
+
+PW = 32  # panel width: cross-panel updates via one MXU matmul per panel
+SW = 8  # sub-chunk width: rank-1 updates touch only a (G, SW, BS) slab
+
+
+def _diag_chol_t_kernel(a_ref, out_ref, lt_ref):
+    """Batched 128x128 Cholesky, (G, col, row) factor scratch.
+
+    a_ref: (G, BS, BS) symmetric input.  out_ref: (G, BS, BS) lower L.
+    lt_ref: (G, BS, BS) scratch holding L^T rows (lt[g, j, :] = column j
+    of L, zero where not yet computed).
+    """
+    f32 = jnp.float32
+    lt_ref[...] = jnp.zeros_like(lt_ref)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, BS), 1)  # row index
+
+    for p in range(BS // PW):
+        c0 = p * PW
+        # Left-looking panel update: cols [c0, c0+PW) of the trailing
+        # matrix = A - (sum over finished cols k) l_k l_k^T, restricted to
+        # the panel.  lt rows >= c0 are still zero, so contracting over
+        # the FULL k axis is exact and static.
+        panel = a_ref[:, c0 : c0 + PW, :].astype(f32)  # (G, PW, BS)
+        if p > 0:
+            ltj = lt_ref[:, :, c0 : c0 + PW]  # (G, BS, PW) static lanes
+            upd = jax.lax.dot_general(
+                ltj,
+                lt_ref[...],
+                dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=f32,
+                precision=jax.lax.Precision.HIGHEST,
+            )  # (G, PW, BS): upd[g, j, r] = sum_k lt[g,k,j0+j] lt[g,k,r]
+            panel = panel - upd
+
+        for s in range(PW // SW):
+            j0 = c0 + s * SW
+            sub = panel[:, s * SW : (s + 1) * SW, :]  # (G, SW, BS)
+            if s > 0:
+                # rank-(s*SW) update from this panel's finished sub-chunks
+                ltp = lt_ref[:, c0:j0, c0 : c0 + PW]  # (G, s*SW, PW)
+                ltj = ltp[:, :, s * SW : (s + 1) * SW]  # (G, s*SW, SW)
+                sub = sub - jax.lax.dot_general(
+                    ltj,
+                    lt_ref[:, c0:j0, :],
+                    dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                    preferred_element_type=f32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            cols8 = jax.lax.broadcasted_iota(jnp.int32, (1, SW, 1), 1)
+            for q in range(SW):
+                j = j0 + q
+                col = sub[:, q, :]  # (G, BS) static sublane slice
+                piv = col[:, j][:, None]  # (G, 1) static lane index
+                l = jnp.where(lanes >= j, col * jax.lax.rsqrt(piv), 0.0)
+                lt_ref[:, j, :] = l
+                if q + 1 < SW:
+                    lrow8 = l[:, j0 : j0 + SW]  # (G, SW) static lanes
+                    w = jnp.where(cols8 > q, lrow8[:, :, None], 0.0)
+                    sub = sub - w * l[:, None, :]
+
+    # L = lt^T (per-G 2D transpose)
+    out_ref[...] = jnp.swapaxes(lt_ref[...], -1, -2)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def diag_chol_pallas_t(K: jax.Array, interpret: bool = False) -> jax.Array:
+    """Batched lower Cholesky of (..., 128, 128) SPD blocks via the v3
+    transposed-layout kernel.  Caller applies jitter."""
+    batch = K.shape[:-2]
+    assert K.shape[-1] == BS and K.shape[-2] == BS, K.shape
+    Kb = K.reshape(-1, BS, BS).astype(jnp.float32)
+    G = Kb.shape[0]
+    out = pl.pallas_call(
+        _diag_chol_t_kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, BS, BS), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((G, BS, BS), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=G * BS * BS * BS // 3,
+            bytes_accessed=2 * 4 * G * BS * BS,
+            transcendentals=G * BS,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=(64 * 1024 * 1024) if not interpret else None
+        ),
+        interpret=interpret,
+    )(Kb)
+    return out.reshape(*batch, BS, BS).astype(K.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "unrolled"))
