@@ -20,3 +20,31 @@ if os.environ.get("VARGP_TPU_TEST_PLATFORM", "cpu") == "cpu":
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--slow",
+        action="store_true",
+        default=False,
+        help="run the slow tier too (full suite; ~25 min on a 1-core host)",
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running e2e/parity test — excluded from the default "
+        "fast tier; run with `pytest --slow` (see README)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--slow"):
+        return
+    import pytest
+
+    skip = pytest.mark.skip(reason="slow tier: re-run with --slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

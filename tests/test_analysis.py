@@ -3,6 +3,7 @@
 import os
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -50,6 +51,7 @@ def _train_tiny_chain_impl(dkl=False):
     return chain, cfg, toy
 
 
+@pytest.mark.slow
 def test_checkpoint_chain_roundtrip(tmp_path):
     chain, cfg, _ = _train_tiny_chain(tmp_path)
     loaded = analysis.load_task_chain(str(tmp_path), 2, chain[0])
@@ -89,6 +91,7 @@ def test_toy_density_grid_and_plot(tmp_path):
     assert os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_dkl_training_runs(tmp_path):
     """Deep-kernel path end to end (warm-started phi across tasks)."""
     chain, cfg, toy = _train_tiny_chain(tmp_path, dkl=True)

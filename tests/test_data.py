@@ -1,6 +1,7 @@
 """Data layer tests."""
 
 import numpy as np
+import pytest
 
 from vargp_tpu import data
 
@@ -33,6 +34,7 @@ def test_batch_iter_static_shapes_and_coverage():
     assert seen == 200
 
 
+@pytest.mark.slow
 def test_split_and_permute():
     d = data.load_mnist(train=True)
     assert d.data.shape == (60000, 784)

@@ -20,6 +20,7 @@ def test_toy_driver_tiny(tmp_path):
     assert len(summaries) == 2
 
 
+@pytest.mark.slow
 def test_smnist_driver_tiny(tmp_path):
     chain, summaries = vargp_run.split_mnist(
         epochs=1, M=4, eval_interval=1, batch_size=4096, seed=0,
@@ -31,6 +32,7 @@ def test_smnist_driver_tiny(tmp_path):
     assert 0.0 <= acc <= 1.0
 
 
+@pytest.mark.slow
 def test_pmnist_driver_tiny(tmp_path):
     chain, summaries = vargp_run.permuted_mnist(
         epochs=1, M=4, eval_interval=1, batch_size=4096, seed=0,
@@ -40,6 +42,7 @@ def test_pmnist_driver_tiny(tmp_path):
     assert len(chain) == 2
 
 
+@pytest.mark.slow
 def test_global_smnist_driver_tiny(tmp_path):
     _, summaries = global_run.split_mnist(
         epochs=1, M=4, eval_interval=1, batch_size=4096, seed=0,
@@ -49,6 +52,7 @@ def test_global_smnist_driver_tiny(tmp_path):
     assert len(summaries) == 2
 
 
+@pytest.mark.slow
 def test_toy_driver_resume(tmp_path):
     """Crash-resume: rerunning with resume=True skips completed tasks and
     produces a usable chain."""

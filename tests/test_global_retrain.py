@@ -1,6 +1,7 @@
 """Global continual SVGP + VARGP-Retrain model tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,7 @@ from vargp_tpu.models import global_svgp as G
 from vargp_tpu.models import vargp_retrain as R
 
 
+@pytest.mark.slow
 def test_global_svgp_task0_loss_and_grads():
     toy = data.filter_by_class(data.make_toy_dataset(seed=0), [0, 1])
     cfg = G.GlobalSVGPConfig(M=8, out_size=4, in_size=2, n_f=4, n_var_samples=2)
@@ -29,6 +31,7 @@ def test_global_svgp_task0_loss_and_grads():
         assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 def test_global_svgp_with_prev_regularizer():
     cfg = G.GlobalSVGPConfig(M=6, out_size=3, in_size=2, n_f=4, n_var_samples=2)
     rng = np.random.default_rng(0)
@@ -68,6 +71,7 @@ def test_global_grow_inducing():
     np.testing.assert_allclose(np.asarray(z[:, :4]), np.asarray(prev_z))
 
 
+@pytest.mark.slow
 def test_global_trains_toy_task():
     """One-task global SVGP should learn the toy problem."""
     import optax
@@ -102,6 +106,7 @@ def test_global_trains_toy_task():
     assert acc > 0.9, acc
 
 
+@pytest.mark.slow
 def test_global_grown_m_two_tasks_end_to_end():
     """The grown-M continual path (grow_per_task > 0): task 1 trains with a
     LARGER inducing set whose leading rows are task 0's, and the
@@ -160,6 +165,7 @@ class TestRetrain:
         y = jnp.asarray(rng.integers(0, 3, 10))
         return params, prior, frozen, x, y, cfg, key
 
+    @pytest.mark.slow
     def test_task0(self):
         params, prior, frozen, x, y, cfg, key = self._setup(False)
         klh, klu, nll = jax.jit(
@@ -168,6 +174,7 @@ class TestRetrain:
         for v in (klh, klu, nll):
             assert np.isfinite(float(v))
 
+    @pytest.mark.slow
     def test_with_prev_grads_flow_to_retrained_params(self):
         params, prior, frozen, x, y, cfg, key = self._setup(True)
 

@@ -1,6 +1,7 @@
 """Kernel tests: closed-form properties + torch-oracle parity."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -91,6 +92,7 @@ def test_gram_parity_with_reference(reference_modules):
     np.testing.assert_allclose(ours_d, theirs_d, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_deep_gram_shapes():
     key = jax.random.key(0)
     phi = kernels.init_mlp(key, in_size=10, hidden=32, feature_size=8)

@@ -24,6 +24,7 @@ def test_native_gather_matches_numpy():
     np.testing.assert_array_equal(y, targets[order])
 
 
+@pytest.mark.slow
 def test_native_gather_large_parallel():
     rng = np.random.default_rng(1)
     data = rng.standard_normal((60000, 784)).astype(np.float32)

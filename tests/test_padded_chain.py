@@ -1,6 +1,7 @@
 """Padded-chain compilation must be EXACT vs the unpadded computation."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -42,6 +43,7 @@ def setup(n_prev, seed=0, D=3, out=2, Mi=5, B=6):
     return params, prev, cfg, x, y
 
 
+@pytest.mark.slow
 def test_padded_forward_matches_unpadded():
     for n_prev in (0, 1, 2):
         params, prev, cfg, x, y = setup(n_prev, seed=n_prev)
@@ -67,6 +69,7 @@ def test_padded_forward_matches_unpadded():
         )
 
 
+@pytest.mark.slow
 def test_padded_grads_match_unpadded():
     params, prev, cfg, x, y = setup(2, seed=5)
     prior = default_prior(cfg.in_size)

@@ -8,6 +8,7 @@ forgetting), and the ELBO must decrease during training.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from vargp_tpu import data
 from vargp_tpu.models.vargp import VARGPConfig
@@ -42,6 +43,7 @@ def test_compute_bwt():
     np.testing.assert_allclose(compute_bwt(m), 0.8 - 0.9)
 
 
+@pytest.mark.slow
 def test_toy_two_task_continual_learning():
     toy = data.make_toy_dataset(seed=0)
 

@@ -85,6 +85,7 @@ class TestTorchParity:
             gp.u_tril_vec.copy_(torch.tensor(setup["u_tril_vec1"]))
         return setup, gp, (D, out, M0, M1)
 
+    @pytest.mark.slow
     def test_forward_moments_parity(self, oracle):
         import torch
 
@@ -177,6 +178,7 @@ class TestTorchParity:
         np.testing.assert_allclose(float(nll), float(ref_nll), rtol=0.03)
 
 
+@pytest.mark.slow
 def test_three_task_chain_matches_reference_recursion():
     """Fused forward == reference-style linear_joint fold +
     linear_marginal_diag, with a 3-task chain and sampled (seeded) theta."""
@@ -242,6 +244,7 @@ def test_three_task_chain_matches_reference_recursion():
     )
 
 
+@pytest.mark.slow
 def test_loss_and_grads_are_finite():
     rng = np.random.default_rng(7)
     D, out, M0, M1, B = 2, 4, 5, 6, 8
@@ -275,6 +278,7 @@ def test_predict_probabilities():
     assert (p >= 0).all()
 
 
+@pytest.mark.slow
 def test_cross_gram_matches_broadcast_gram():
     """cross_gram (shared-x formulation + hand VJP) must match the generic
     gram on broadcast x in values AND gradients wrt z/theta."""
