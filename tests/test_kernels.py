@@ -1,9 +1,12 @@
 """Kernel tests: closed-form properties + torch-oracle parity."""
 
+import functools
+
 import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
 
 from vargp_tpu import kernels
 from vargp_tpu.kernels.rbf import RBFParams, RBFPrior
@@ -90,6 +93,89 @@ def test_gram_parity_with_reference(reference_modules):
     ours_d = np.asarray(kernels.gram_diag(jnp.asarray(theta)))
     theirs_d = ref_k.compute_diag(torch.tensor(theta)).numpy()
     np.testing.assert_allclose(ours_d, theirs_d, rtol=1e-5)
+
+
+def test_sym_gram_matches_gram_values_and_grads():
+    """The fused-scaling symmetric Gram (production Kzz path) must equal
+    the generic gram() oracle in value AND in every cotangent (z, theta)
+    — the hand VJP shares no code with AD through gram()."""
+    rng = np.random.default_rng(5)
+    D, M, H, O = 7, 9, 3, 2
+    theta = jnp.asarray((rng.standard_normal((H, D + 1)) * 0.3).astype(np.float32))
+    z = jnp.asarray(rng.standard_normal((O, M, D)).astype(np.float32))
+
+    K1 = kernels.sym_gram(theta, z)
+    K2 = kernels.gram(theta, z)
+    np.testing.assert_allclose(np.asarray(K1), np.asarray(K2), rtol=1e-5, atol=1e-6)
+
+    w = jnp.asarray(rng.standard_normal(K1.shape).astype(np.float32))
+    g1 = jax.grad(lambda th, zz: jnp.sum(w * kernels.sym_gram(th, zz)), argnums=(0, 1))(theta, z)
+    g2 = jax.grad(lambda th, zz: jnp.sum(w * kernels.gram(th, zz)), argnums=(0, 1))(theta, z)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_sym_gram_pallas_interpret_matches_reference():
+    """Interpret-mode run of the fused-scaling kernel vs the einsum
+    reference — including the 64-row-tile path (M=9 -> 64 rows) and a
+    shape that exercises 128-col padding (M=140 -> rows 192, cols 256)."""
+    from vargp_tpu.ops.pallas.rbf_gram import _sym_gram_4d, sym_gram_pallas
+
+    rng = np.random.default_rng(6)
+    for O, M, D, H in ((2, 9, 7, 3), (1, 140, 5, 2)):
+        z = jnp.asarray(rng.standard_normal((O, M, D)).astype(np.float32))
+        invs = jnp.asarray(
+            np.exp(rng.standard_normal((H, D)) * 0.2).astype(np.float32)
+        )
+        gamma2 = jnp.asarray(np.exp(rng.standard_normal(H) * 0.2).astype(np.float32))
+        with jax.disable_jit():  # interpret pallas on CPU
+            import unittest.mock as mock
+
+            with mock.patch(
+                "vargp_tpu.ops.pallas.rbf_gram.pl.pallas_call",
+                functools.partial(pl.pallas_call, interpret=True),
+            ):
+                K = _sym_gram_4d.__wrapped__(z, invs, gamma2)
+        sz = np.asarray(z)[None] * np.asarray(invs)[:, None, None, :]
+        d2 = (
+            np.sum(sz**2, -1)[..., :, None]
+            - 2 * np.einsum("homd,hond->homn", sz, sz)
+            + np.sum(sz**2, -1)[..., None, :]
+        )
+        expect = np.asarray(gamma2)[:, None, None, None] * np.exp(-0.5 * np.maximum(d2, 0))
+        np.testing.assert_allclose(np.asarray(K), expect, rtol=1e-4, atol=1e-5)
+
+
+def test_sym_gram_hand_vjp_matches_ad():
+    """_sym_gram_bwd (the TPU production backward) vs AD through the
+    reference einsum formula — the CPU dispatch path never runs the hand
+    VJP, so check its math directly."""
+    from vargp_tpu.ops.pallas.rbf_gram import _sym_gram_bwd
+
+    rng = np.random.default_rng(9)
+    D, M, H, O = 5, 8, 2, 3
+    z = jnp.asarray(rng.standard_normal((O, M, D)).astype(np.float32))
+    invs = jnp.asarray(np.exp(rng.standard_normal((H, D)) * 0.2).astype(np.float32))
+    gamma2 = jnp.asarray(np.exp(rng.standard_normal(H) * 0.2).astype(np.float32))
+
+    def ref(z, invs, gamma2):
+        sz = z[None] * invs[:, None, None, :]
+        d2 = (
+            jnp.sum(sz**2, -1)[..., :, None]
+            - 2 * jnp.einsum("homd,hond->homn", sz, sz)
+            + jnp.sum(sz**2, -1)[..., None, :]
+        )
+        return gamma2[:, None, None, None] * jnp.exp(-0.5 * d2)
+
+    K = ref(z, invs, gamma2)
+    g = jnp.asarray(rng.standard_normal(K.shape).astype(np.float32))
+    dz, d_invs, d_g2 = _sym_gram_bwd(None, (z, invs, gamma2, K), g)
+    ad = jax.grad(
+        lambda *a: jnp.sum(g * ref(*a)), argnums=(0, 1, 2)
+    )(z, invs, gamma2)
+    np.testing.assert_allclose(np.asarray(dz), np.asarray(ad[0]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d_invs), np.asarray(ad[1]), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(d_g2), np.asarray(ad[2]), rtol=1e-4, atol=1e-4)
 
 
 @pytest.mark.slow

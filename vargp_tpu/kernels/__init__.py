@@ -7,6 +7,7 @@ scale), and a deep (DKL) variant applying an MLP feature map first.
 
 from vargp_tpu.kernels.rbf import (
     cross_gram,
+    sym_gram,
     RBFParams,
     RBFPrior,
     init_rbf,
@@ -25,6 +26,7 @@ from vargp_tpu.kernels.deep import (
 
 __all__ = [
     "cross_gram",
+    "sym_gram",
     "RBFParams",
     "RBFPrior",
     "init_rbf",

@@ -102,6 +102,21 @@ def gram(theta: jax.Array, x: jax.Array, y: jax.Array | None = None,
     return rbf_gram(sx, sy, gamma2[..., None], precision=precision)
 
 
+def sym_gram(theta: jax.Array, z: jax.Array,
+             precision: str = "highest") -> jax.Array:
+    """K(z, z) for class-stacked z (O, M, D) with scaling fused into the
+    Gram kernel (no per-hyper (H, O, M, D) materialization).
+
+    Numerically identical to ``gram(theta, z)`` (tested); this is the
+    production Kzz path for the non-DKL model (reference:
+    var_gp/kernels.py:44-54 with x = y)."""
+    from vargp_tpu.ops.dispatch import sym_gram as _sym_gram_dispatch
+
+    invs = jnp.exp(-theta[:, :-1])  # (H, D)
+    gamma2 = jnp.exp(2.0 * theta[:, -1])  # (H,)
+    return _sym_gram_dispatch(z, invs, gamma2, precision)
+
+
 def gram_diag(theta: jax.Array) -> jax.Array:
     """Diagonal of k(x,x) = gamma^2, shaped (n_hypers, 1, 1)
     (kernels.py:58-60)."""

@@ -37,6 +37,7 @@ from vargp_tpu.kernels import (
     init_rbf,
     kl_hypers,
     sample_hypers,
+    sym_gram,
 )
 from vargp_tpu.likelihoods import softmax_loss, softmax_predict
 
@@ -176,7 +177,12 @@ def build_posterior(
     gram_ = _gram_fn(params, cfg)
     z_all, u_means, u_trils, _ = _concat_chain(params, prev, cfg)
 
-    Kzz = gram_(theta, z_all)  # (H, O, SM, SM)
+    if cfg.dkl:
+        Kzz = gram_(theta, z_all)  # (H, O, SM, SM)
+    else:
+        # fused-scaling symmetric Gram: no (H, O, SM, D) pre-scaled
+        # broadcast (kernels.rbf.sym_gram == gram(theta, z_all), tested)
+        Kzz = sym_gram(theta, z_all)
     if chain_mask is not None:
         rm = _row_mask(chain_mask, cfg.M)
         Kzz = Kzz * (rm[:, None] * rm[None, :]) + jnp.diag(1.0 - rm)

@@ -98,6 +98,29 @@ def rbf_gram(sx: jax.Array, sy: jax.Array, gamma2: jax.Array,
     return gamma2 * jnp.exp(-0.5 * d2)
 
 
+def sym_gram(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
+             precision: str = "highest") -> jax.Array:
+    """Symmetric ARD Gram on RAW inputs — scaling fused into the kernel.
+
+    z: (O, M, D) class-stacked rows; invs = exp(-log_ls): (H, D);
+    gamma2: (H,).  Returns (H, O, M, M).  On the Pallas backend this
+    avoids the (H, O, M, D) pre-scaled broadcast the generic ``rbf_gram``
+    path materializes (and its 128-row padding); elsewhere it lowers to
+    the same einsum chain XLA already fuses."""
+    prec = (
+        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.HIGH
+    )
+    if get_backend() == "pallas" and precision == "highest":
+        try:
+            from vargp_tpu.ops.pallas.rbf_gram import sym_gram_pallas
+
+            return sym_gram_pallas(z, invs, gamma2, prec)
+        except ImportError:
+            pass
+    sz = z[None] * invs[:, None, None, :]  # (H, O, M, D)
+    return rbf_gram(sz, sz, gamma2[:, None, None, None], precision=precision)
+
+
 def chol_and_inv(K: jax.Array, block_m: int | None = None):
     """(chol(K), chol(K)^{-1}); thin reordering wrapper — custom_vjp wants
     its nondiff (static) argument first."""

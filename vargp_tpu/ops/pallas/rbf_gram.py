@@ -145,3 +145,162 @@ def _rbf_gram_bwd(precision, res, g):
 
 
 rbf_gram_pallas.defvjp(_rbf_gram_fwd, _rbf_gram_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused-scaling symmetric ARD Gram (the factorized Kzz path)
+# ---------------------------------------------------------------------------
+#
+# K[h, o, i, j] = gamma2[h] * exp(-0.5 * sum_d invs[h,d]^2 (z[o,i,d]-z[o,j,d])^2)
+#
+# The generic path (kernels.rbf.gram -> rbf_gram_pallas) pre-scales inputs
+# per hyper-sample OUTSIDE the kernel: at flagship shapes that broadcasts
+# z (O, SM, D) to an (H, O, SM, D) HBM array twice (forward + held for
+# backward) and pads SM=300 rows up to 384.  This primitive feeds the
+# kernel raw z + per-hyper inverse lengthscales and scales in VMEM:
+#   * no (H, O, SM, D) materialization anywhere (fwd or bwd);
+#   * the hyper axis is a pure grid dimension — z tiles are re-read per h
+#     from the SAME small array instead of from H broadcast copies;
+#   * row tiles drop to 64 when that reduces padding (300 -> 320 rows
+#     instead of 384; lanes stay 128 wide).
+# The hand VJP mirrors kernels.rbf._cross_gram_p_bwd: two big MXU
+# contractions (P, Q) shared between the z and lengthscale cotangents.
+#
+# Replaces the reference Kzz chain (var_gp/kernels.py:44-54 with x = y)
+# for the non-DKL model; kernels.rbf.gram remains the oracle (tested).
+
+
+def _make_sym_gram_kernel(precision):
+    def _kernel(zr_ref, zc_ref, inv_ref, g2_ref, out_ref):
+        inv = inv_ref[0, 0]  # (D,)
+        sx = zr_ref[0] * inv  # (TM, D)
+        sy = zc_ref[0] * inv  # (TN, D)
+        xx = jnp.sum(jnp.square(sx), axis=-1)[:, None]
+        yy = jnp.sum(jnp.square(sy), axis=-1)[None, :]
+        xy = jax.lax.dot_general(
+            sx,
+            sy,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        d2 = jnp.maximum(xx - 2.0 * xy + yy, 0.0)
+        out_ref[0, 0] = g2_ref[pl.program_id(0), 0] * jnp.exp(-0.5 * d2)
+
+    return _kernel
+
+
+def _make_sym_gram_whole_kernel(precision, R):
+    def _kernel(z_ref, inv_ref, g2_ref, out_ref):
+        inv = inv_ref[0, 0]  # (D,)
+        sz = z_ref[0] * inv  # (C, D) — cols; rows are its leading R slice
+        sx = sz[:R]  # (R, D) static slice, no extra load
+        xx = jnp.sum(jnp.square(sx), axis=-1)[:, None]
+        yy = jnp.sum(jnp.square(sz), axis=-1)[None, :]
+        xy = jax.lax.dot_general(
+            sx,
+            sz,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        d2 = jnp.maximum(xx - 2.0 * xy + yy, 0.0)
+        out_ref[0, 0] = g2_ref[pl.program_id(0), 0] * jnp.exp(-0.5 * d2)
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _sym_gram_4d(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
+                 precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """z: (O, M, D), invs: (H, D), gamma2: (H,) -> (H, O, M, M).
+
+    One grid program per (h, o): the whole (M, D) class block is DMA'd
+    into VMEM ONCE and the full Gram computed with a single MXU
+    contraction.  A (TILE_M, TILE_N)-tiled grid re-reads each z tile
+    ~(M/TILE)x from HBM (at flagship shapes ~300 MB of traffic for 11 MB
+    of data); whole-block loading makes the kernel purely FLOP-bound.
+    Rows pad to 8 (sublane), cols to 128 (lane): M=300 runs as 304 x 384
+    instead of 384 x 384.
+    """
+    O, M, D = z.shape
+    H = invs.shape[0]
+    R = _round_up(M, 8)  # rows: sublane-aligned
+    C = _round_up(M, TILE_N)  # cols: lane-aligned
+    Dp = _round_up(D, 128)
+    z_p = jnp.pad(z, ((0, 0), (0, C - M), (0, Dp - D)))
+    invs_p = jnp.pad(invs, ((0, 0), (0, Dp - D)))
+
+    grid = (H, O)
+    out = pl.pallas_call(
+        _make_sym_gram_whole_kernel(precision, R),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (1, C, Dp), lambda h, o: (o, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, Dp), lambda h, o: (h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole (H, 1) scalar table
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, R, C), lambda h, o: (h, o, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, O, R, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * O * R * C * Dp,
+            bytes_accessed=4 * (H * O * C * Dp + H * O * R * C),
+            transcendentals=H * O * R * C,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(z_p, invs_p[:, None, :], gamma2.reshape(H, 1).astype(jnp.float32))
+    return out[:, :, :M, :M]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def sym_gram_pallas(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
+                    precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Symmetric ARD Gram over class-stacked inducing rows.
+
+    z: (O, M, D); invs = exp(-log_ls): (H, D); gamma2: (H,).
+    Returns (H, O, M, M), numerically identical to
+    ``kernels.rbf.gram(theta, z)`` (tested)."""
+    return _sym_gram_4d(z, invs, gamma2, precision)
+
+
+def _sym_gram_fwd(z, invs, gamma2, precision):
+    K = sym_gram_pallas(z, invs, gamma2, precision)
+    return K, (z, invs, gamma2, K)
+
+
+def _sym_gram_bwd(precision, res, g):
+    from vargp_tpu.gpmath.linalg import _BWD
+
+    z, invs, gamma2, K = res
+    W = g * K  # (H, O, M, M)
+    # Work with the SYMMETRIZED d2-cotangent: because d2 (and K) is
+    # symmetric in (i, j), every downstream quantity depends on gd2 only
+    # through S = gd2 + gd2^T — one big MXU contraction (SZ) serves both
+    # the z and lengthscale cotangents instead of two (P, Q).
+    S = -0.5 * (W + jnp.swapaxes(W, -1, -2))
+    invs2 = invs * invs  # (H, D)
+    SZ = jnp.einsum("hoij,ojd->hoid", S, z, precision=_BWD)  # the big one
+    R = jnp.sum(S, axis=-1)  # (H, O, M) row sums (= col sums of S)
+    # dz: d d2/dz_oid = 2 invs2 sum_j S_ij (z_i - z_j)
+    A = jnp.einsum("hd,hoi->oid", invs2, R, precision=_BWD)
+    B = jnp.einsum("hd,hoid->oid", invs2, SZ, precision=_BWD)
+    dz = 2.0 * (z * A - B)
+    # d invs: d d2/dinvs_hd = 2 invs_hd (z_i - z_j)_d^2; the zi^2 + zj^2
+    # terms reduce through R, the cross term through SZ (sum_ij S zi zj
+    # = 2 sum_ij gd2 zi zj by symmetry)
+    t12 = jnp.einsum("hoi,oid->hd", R, z * z, precision=_BWD)
+    t3 = 0.5 * jnp.einsum("hoid,oid->hd", SZ, z, precision=_BWD)
+    d_invs = 2.0 * invs * (t12 - 2.0 * t3)
+    d_gamma2 = jnp.sum(g * K, axis=(1, 2, 3)) / jnp.maximum(gamma2, 1e-30)
+    return dz, d_invs, d_gamma2
+
+
+sym_gram_pallas.defvjp(_sym_gram_fwd, _sym_gram_bwd)
