@@ -31,6 +31,50 @@ def test_global_svgp_task0_loss_and_grads():
         assert np.isfinite(np.asarray(g)).all()
 
 
+def test_global_scanned_block_matches_per_batch_updates():
+    """make_device_train_fn_global (one compiled scan) must produce the
+    SAME params as the per-batch make_update_fn path when the batch covers
+    the whole dataset (row order inside a batch is loss-invariant, so the
+    on-device shuffle cannot differ) and the step keys are aligned."""
+    import optax
+
+    from vargp_tpu.train.loop_global import (
+        make_device_train_fn_global,
+        make_update_fn,
+    )
+
+    cfg = G.GlobalSVGPConfig(M=6, out_size=4, in_size=2, n_f=4, n_var_samples=2)
+    toy = data.filter_by_class(data.make_toy_dataset(seed=0), [0, 1])
+    key = jax.random.key(3)
+    B = 16
+    x = jnp.asarray(toy.data[:B])
+    y = jnp.asarray(toy.targets[:B])
+    w = jnp.ones((B,), jnp.float32)
+    z = jnp.asarray(toy.data[:6])[None].repeat(4, axis=0)
+    params, prior = G.init_params(key, z, cfg)
+    tx = optax.adam(1e-2)
+
+    n_epochs = 3
+    run = make_device_train_fn_global(cfg, tx, beta=1.0, batch_size=B,
+                                      n_epochs=n_epochs)
+    p1 = jax.tree_util.tree_map(jnp.copy, params)
+    p1, _, loss1, _ = run(p1, tx.init(p1), None, prior, jnp.asarray(float(B)),
+                          x, y, w, key)
+
+    update = make_update_fn(cfg, tx, beta=1.0, n_train=B)
+    p2 = jax.tree_util.tree_map(jnp.copy, params)
+    o2 = tx.init(p2)
+    for s in range(n_epochs):
+        # the scanned block's step keys: fold_in(key, n_epochs + s)
+        p2, o2, loss2, _ = update(p2, o2, None, prior, x, y, w,
+                                  jax.random.fold_in(key, n_epochs + s))
+    np.testing.assert_allclose(float(loss1), float(loss2), rtol=1e-5)
+    # in-batch row order differs (device shuffle), so f32 reduction order
+    # inside the loss differs too: identical math, ~1e-5-scale rounding
+    for a, b in zip(jax.tree_util.tree_leaves(p1), jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=5e-4)
+
+
 @pytest.mark.slow
 def test_global_svgp_with_prev_regularizer():
     cfg = G.GlobalSVGPConfig(M=6, out_size=3, in_size=2, n_f=4, n_var_samples=2)

@@ -20,20 +20,93 @@ from vargp_tpu.train.metrics import compute_accuracy
 from vargp_tpu.train.stopper import EarlyStopper
 
 
+def _global_step(params, opt_state, prev, prior, x, y, w, key, *,
+                 cfg, tx, beta, n_train):
+    """One ELBO update of the global model (shared by both train paths)."""
+
+    def total_loss(p):
+        klh, klu, upr, nll = G.loss(p, prev, prior, x, y, key, cfg, weights=w)
+        scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
+        return beta * klh + klu - upr + scale * nll, (klh, klu, upr, nll)
+
+    (loss_val, aux), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss_val, aux
+
+
 def make_update_fn(cfg: G.GlobalSVGPConfig, tx, beta: float, n_train: int):
     @partial(jax.jit, donate_argnums=(0, 1))
     def update(params, opt_state, prev, prior, x, y, w, key):
-        def total_loss(p):
-            klh, klu, upr, nll = G.loss(p, prev, prior, x, y, key, cfg, weights=w)
-            scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
-            return beta * klh + klu - upr + scale * nll, (klh, klu, upr, nll)
-
-        (loss_val, aux), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss_val, aux
+        return _global_step(
+            params, opt_state, prev, prior, x, y, w, key,
+            cfg=cfg, tx=tx, beta=beta, n_train=n_train,
+        )
 
     return update
+
+
+def make_device_train_fn_global(
+    cfg: G.GlobalSVGPConfig, tx, beta: float, batch_size: int, n_epochs: int
+):
+    """Fully on-device training block for the global model: the task
+    dataset lives in HBM, shuffling/batching/updates run inside ONE
+    compiled flat scan — the same treatment train.loop.make_device_train_fn
+    gives the VARGP chain (one dispatch per eval interval instead of one
+    per minibatch).  Unlike the chain model there is no padded-task trick:
+    the global model GROWS its inducing block per task
+    (global_svgp.grow_inducing), so each task compiles its own block."""
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def run(params, opt_state, prev, prior, n_train,
+            data_x, data_y, data_w, key):
+        n_pad = data_x.shape[0]
+        steps_per_epoch = n_pad // batch_size
+        perm_keys = jax.vmap(lambda e: jax.random.fold_in(key, e))(
+            jnp.arange(n_epochs)
+        )
+        perms = jax.vmap(lambda k: jax.random.permutation(k, n_pad))(perm_keys)
+
+        def step(carry, s):
+            params, opt_state = carry
+            e = s // steps_per_epoch
+            o = (s % steps_per_epoch) * batch_size
+            idx = jax.lax.dynamic_slice(perms[e], (o,), (batch_size,))
+            k = jax.random.fold_in(key, n_epochs + s)
+            params, opt_state, loss_val, aux = _global_step(
+                params, opt_state, prev, prior,
+                data_x[idx], data_y[idx], data_w[idx], k,
+                cfg=cfg, tx=tx, beta=beta, n_train=n_train,
+            )
+            return (params, opt_state), (loss_val, aux)
+
+        (params, opt_state), (losses, auxs) = jax.lax.scan(
+            step, (params, opt_state), jnp.arange(n_epochs * steps_per_epoch)
+        )
+        return params, opt_state, losses[-1], jax.tree_util.tree_map(
+            lambda a: a[-1], auxs
+        )
+
+    return run
+
+
+def make_device_eval_fn_global(cfg: G.GlobalSVGPConfig):
+    """Scanned whole-dataset accuracy for the global model: all eval
+    batches in one dispatch (xs: (K, B, D), ys/ws: (K, B))."""
+
+    @jax.jit
+    def eval_acc(params, prev, xs, ys, ws, key):
+        def body(carry, batch):
+            i, correct = carry
+            x, y, w = batch
+            probs = G.predict(params, prev, x, jax.random.fold_in(key, i), cfg)
+            hits = (jnp.argmax(probs, axis=-1) == y).astype(jnp.float32) * w
+            return (i + 1, correct + jnp.sum(hits)), None
+
+        (_, correct), _ = jax.lax.scan(body, (0, 0.0), (xs, ys, ws))
+        return correct, jnp.sum(ws)
+
+    return eval_acc
 
 
 def train_task(
@@ -68,11 +141,55 @@ def train_task(
 
     tx = make_optimizer(hp)
     opt_state = tx.init(params)
-    update = make_update_fn(cfg, tx, hp.beta, len(train_set))
+    n_train_arr = jnp.asarray(float(len(train_set)))
 
-    @jax.jit
-    def predict(p, x, k):
-        return G.predict(p, prev, x, k, cfg)
+    if hp.scan_epoch:
+        from vargp_tpu.train.loop import (
+            _eval_batches,
+            pad_dataset_to_device,
+            stack_eval_set,
+        )
+
+        data_x, data_y, data_w = pad_dataset_to_device(train_set, hp.batch_size)
+        steps_per_epoch = data_x.shape[0] // hp.batch_size
+        _block_fns = {}
+
+        def run_block(n_epochs, *args):
+            if n_epochs not in _block_fns:
+                _block_fns[n_epochs] = make_device_train_fn_global(
+                    cfg, tx, hp.beta, hp.batch_size, n_epochs
+                )
+            return _block_fns[n_epochs](*args)
+
+        eval_acc = make_device_eval_fn_global(cfg)
+        eval_stacks = {
+            "train": (
+                stack_eval_set(train_set, hp.batch_size, _eval_batches(hp, train_set)),
+                len(train_set),
+            ),
+            "val": (
+                stack_eval_set(val_set, hp.batch_size, _eval_batches(hp, val_set)),
+                len(val_set),
+            ),
+            "test": (
+                stack_eval_set(test_set, hp.batch_size, _eval_batches(hp, test_set)),
+                len(test_set),
+            ),
+        }
+
+        def _acc(split, k):
+            (xs, ys, ws), n = eval_stacks[split]
+            correct, _ = eval_acc(params, prev, xs, ys, ws, k)
+            correct = float(correct)
+            assert np.isfinite(correct), "Found NaNs"
+            return correct / n
+
+    else:
+        update = make_update_fn(cfg, tx, hp.beta, len(train_set))
+
+        @jax.jit
+        def predict(p, x, k):
+            return G.predict(p, prev, x, k, cfg)
 
     stopper = EarlyStopper(patience=hp.patience)
     data_rng = np.random.default_rng(seed)
@@ -80,24 +197,51 @@ def train_task(
     t0 = time.time()
     steps = 0
     aux = (jnp.zeros(()),) * 4
+    epoch = -1
+    last_eval = 0
+    max_block_epochs = (
+        max(1, hp.max_steps_per_dispatch // max(steps_per_epoch, 1))
+        if hp.scan_epoch
+        else 1
+    )
 
-    for epoch in range(hp.epochs):
-        for b in batch_iter(train_set, hp.batch_size, rng=data_rng):
-            key_seq, k_step = jax.random.split(key_seq)
-            params, opt_state, _, aux = update(
-                params, opt_state, prev, prior,
-                jnp.asarray(b.x), jnp.asarray(b.y), jnp.asarray(b.w), k_step,
+    while epoch + 1 < hp.epochs:
+        if hp.scan_epoch:
+            to_eval = hp.eval_interval - ((epoch + 1) - last_eval)
+            block = min(max(to_eval, 1), hp.epochs - (epoch + 1), max_block_epochs)
+            key_seq, k_blk = jax.random.split(key_seq)
+            params, opt_state, _, aux = run_block(
+                block, params, opt_state, prev, prior, n_train_arr,
+                data_x, data_y, data_w, k_blk,
             )
-            steps += 1
+            steps += block * steps_per_epoch
+            epoch += block
+        else:
+            epoch += 1
+            for b in batch_iter(train_set, hp.batch_size, rng=data_rng):
+                key_seq, k_step = jax.random.split(key_seq)
+                params, opt_state, _, aux = update(
+                    params, opt_state, prev, prior,
+                    jnp.asarray(b.x), jnp.asarray(b.y), jnp.asarray(b.w), k_step,
+                )
+                steps += 1
 
-        if (epoch + 1) % hp.eval_interval == 0:
+        if (epoch + 1) - last_eval >= hp.eval_interval or epoch + 1 >= hp.epochs:
+            last_eval = epoch + 1
             key_seq, k_ev = jax.random.split(key_seq)
-            pf = lambda x: predict(params, jnp.asarray(x), k_ev)
-            accs = {
-                f"task{task_id}/train/acc": compute_accuracy(train_set, pf, hp.batch_size),
-                f"task{task_id}/val/acc": compute_accuracy(val_set, pf, hp.batch_size),
-                f"task{task_id}/test/acc": compute_accuracy(test_set, pf, hp.batch_size),
-            }
+            if hp.scan_epoch:
+                accs = {
+                    f"task{task_id}/train/acc": _acc("train", k_ev),
+                    f"task{task_id}/val/acc": _acc("val", k_ev),
+                    f"task{task_id}/test/acc": _acc("test", k_ev),
+                }
+            else:
+                pf = lambda x: predict(params, jnp.asarray(x), k_ev)
+                accs = {
+                    f"task{task_id}/train/acc": compute_accuracy(train_set, pf, hp.batch_size),
+                    f"task{task_id}/val/acc": compute_accuracy(val_set, pf, hp.batch_size),
+                    f"task{task_id}/test/acc": compute_accuracy(test_set, pf, hp.batch_size),
+                }
             klh, klu, upr, nll = (float(a) for a in aux)
             if logger is not None:
                 for k, v in {
