@@ -3,17 +3,20 @@ in the reference; T>2 is handled here, resolving the reference's TODO at
 vargp_retrain.py:251)."""
 
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 import optax
 
 from vargp_tpu import data
-from vargp_tpu.data.core import batch_iter
 from vargp_tpu.models import vargp_retrain as R
 from vargp_tpu.models.vargp import select_inducing
-from vargp_tpu.train.loop import TrainHyperparams, make_optimizer
+from vargp_tpu.train.loop import (
+    TrainHyperparams,
+    make_optimizer,
+    pad_dataset_to_device,
+)
 from vargp_tpu.train.metrics import compute_accuracy
 from vargp_tpu.utils import MetricsLogger, save_chain, seed_everything
 
@@ -57,8 +60,7 @@ def toy(
             opt_state = tx.init(params)
             n_train = len(train_set)
 
-            @jax.jit
-            def update(p, o, x, y, w, k):
+            def step_fn(p, o, x, y, w, k):
                 def total(p):
                     klh, klu, nll = R.loss(p, frozen, prior, x, y, k, cfg, weights=w)
                     scale = n_train / jnp.maximum(jnp.sum(w), 1.0)
@@ -68,26 +70,67 @@ def toy(
                 up, o = tx.update(g, o, p)
                 return optax.apply_updates(p, up), o, lv, aux
 
+            # scanned device block (same treatment as train.loop): dataset
+            # in HBM, shuffle/batch/update compiled into one dispatch per
+            # eval interval
+            data_x, data_y, data_w = pad_dataset_to_device(
+                train_set, hp.batch_size
+            )
+            n_pad = data_x.shape[0]
+            steps_per_epoch = n_pad // hp.batch_size
+
+            @partial(jax.jit, static_argnums=(0,), donate_argnums=(1, 2))
+            def run_block(n_epochs, p, o, key):
+                perms = jax.vmap(
+                    lambda e: jax.random.permutation(
+                        jax.random.fold_in(key, e), n_pad
+                    )
+                )(jnp.arange(n_epochs))
+
+                def step(carry, s):
+                    p, o = carry
+                    e = s // steps_per_epoch
+                    off = (s % steps_per_epoch) * hp.batch_size
+                    idx = jax.lax.dynamic_slice(
+                        perms[e], (off,), (hp.batch_size,)
+                    )
+                    k = jax.random.fold_in(key, n_epochs + s)
+                    p, o, lv, aux = step_fn(
+                        p, o, data_x[idx], data_y[idx], data_w[idx], k
+                    )
+                    return (p, o), (lv, aux)
+
+                (p, o), (lvs, auxs) = jax.lax.scan(
+                    step, (p, o), jnp.arange(n_epochs * steps_per_epoch)
+                )
+                return p, o, lvs[-1], jax.tree_util.tree_map(
+                    lambda a: a[-1], auxs
+                )
+
             @jax.jit
             def predict(p, x, k):
                 return R.predict(p, x, k, cfg)
 
-            rng = np.random.default_rng(seed + t)
             key_seq = k_task
-            for epoch in range(hp.epochs):
-                for b in batch_iter(train_set, hp.batch_size, rng=rng):
-                    key_seq, k_step = jax.random.split(key_seq)
-                    params, opt_state, _, aux = update(
-                        params, opt_state, jnp.asarray(b.x), jnp.asarray(b.y),
-                        jnp.asarray(b.w), k_step,
-                    )
-                if (epoch + 1) % hp.eval_interval == 0:
+            max_block = max(
+                1, hp.max_steps_per_dispatch // max(steps_per_epoch, 1)
+            )
+            epoch = 0
+            while epoch < hp.epochs:
+                to_eval = hp.eval_interval - (epoch % hp.eval_interval)
+                block = min(to_eval, hp.epochs - epoch, max_block)
+                key_seq, k_blk = jax.random.split(key_seq)
+                params, opt_state, _, aux = run_block(
+                    block, params, opt_state, k_blk
+                )
+                epoch += block
+                if epoch % hp.eval_interval == 0:
                     key_seq, k_ev = jax.random.split(key_seq)
                     acc = compute_accuracy(
                         seen, lambda x: predict(params, jnp.asarray(x), k_ev),
                         hp.batch_size,
                     )
-                    logger.add_scalar(f"task{t}/test/acc", acc, step=epoch + 1)
+                    logger.add_scalar(f"task{t}/test/acc", acc, step=epoch)
 
             prev_raw = params.tasks
             kernel_prior_from = params.kernel
