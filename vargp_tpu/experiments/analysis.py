@@ -109,6 +109,77 @@ def toy_density_grid(
     return gx, gy, np.stack(out)
 
 
+def analyze_toy(
+    log_dir: str,
+    n_tasks: int = 2,
+    M: int = 20,
+    out_json: str | None = None,
+    n: int = 60,
+    n_f: int = 100,
+    n_var_samples: int = 20,
+    data_seed: int = 0,
+):
+    """Toy predictive-density deliverable (toy.ipynb cells 3-6 /
+    reference README.md:14-18): per-task density contour figure + a
+    numeric density-retention summary from a toy checkpoint chain.
+
+    density_retention[t] = mean predicted probability of the TRUE class
+    over task-0's training points under the model AFTER task t — the
+    quantitative version of "VAR-GP preserves task-0 predictive density
+    across tasks; VCL forgets"."""
+    cfg = V.VARGPConfig(M=M, out_size=4, in_size=2)
+    key = jax.random.key(0)
+    z = jnp.zeros((cfg.out_size, cfg.M, cfg.in_size))
+    example, _ = V.init_params(key, z, cfg)
+    chain = load_task_chain(log_dir, n_tasks, example)
+
+    gx, gy, probs = toy_density_grid(
+        chain, cfg, n=n, n_f=n_f, n_var_samples=n_var_samples
+    )
+    np.savez(
+        os.path.join(log_dir, "density_grid.npz"), gx=gx, gy=gy, probs=probs
+    )
+
+    toy_all = data.make_toy_dataset(seed=data_seed)
+    task0 = data.filter_by_class(toy_all, [0, 1])
+    from dataclasses import replace
+
+    cfg_eval = replace(cfg, n_f=n_f, n_var_samples=n_var_samples)
+
+    retention = []
+    for t, params in enumerate(chain):
+        prev = tuple(V.freeze_task(p) for p in chain[:t])
+        p = np.asarray(
+            V.predict(
+                params, prev, jnp.asarray(task0.data),
+                jax.random.fold_in(key, 100 + t), cfg_eval,
+            )
+        )
+        retention.append(
+            float(np.mean(p[np.arange(len(task0)), task0.targets]))
+        )
+
+    summary = dict(
+        density_retention=retention,
+        task0_true_class_prob_final=retention[-1],
+        grid_n=n, n_f=n_f, n_var_samples=n_var_samples,
+    )
+    out_json = out_json or os.path.join(log_dir, "toy_density.json")
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=2)
+    try:
+        from vargp_tpu.experiments.plots import plot_toy_densities
+
+        plot_toy_densities(
+            gx, gy, probs, dataset=toy_all,
+            out_path=os.path.join(log_dir, "toy_density.png"),
+        )
+    except Exception:
+        pass
+    print(json.dumps(summary))
+    return summary
+
+
 def summarize(acc: np.ndarray, ent: np.ndarray) -> dict:
     """Final summary dict: per-task final accs, mean final acc, BWT."""
     return dict(

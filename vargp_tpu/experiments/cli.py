@@ -41,6 +41,7 @@ def _commands():
         "analyze_smnist": analysis.analyze_smnist,
         "analyze_pmnist": analysis.analyze_pmnist,
         "analyze_sdigits": analysis.analyze_sdigits,
+        "analyze_toy": analysis.analyze_toy,
         # reference: mnist.ipynb VCL-comparison cells (external baselines)
         "compare_methods": analysis.compare_methods,
         # reference: experiments/wandb_utils.py sweep generator
