@@ -160,7 +160,7 @@ def split_digits(
     epochs=500, M=20, lr=3e-3, batch_size=512, beta=10.0,
     n_f=10, n_var_samples=3, ep_var_mean=True, map_est_hypers=False,
     dkl=False, seed=None, eval_interval=10, patience=20, log_dir=None,
-    n_tasks=5, ls_init=None, resume=False,
+    n_tasks=5, ls_init=None, resume=False, eval_resample_per_batch=False,
 ):
     """Split-Digits: the Split-MNIST protocol (experiments/vargp.py:107-141)
     on sklearn's REAL 8x8 handwritten digits — runnable on zero-egress
@@ -198,6 +198,7 @@ def split_digits(
         eval_interval=eval_interval, patience=patience,
         pad_tasks_to=n_tasks, pad_data_rows=max(batch_size, max_train),
         pad_eval_batches=-(-max_eval_rows // batch_size),
+        eval_resample_per_batch=bool(eval_resample_per_batch),
     )
     return _run_task_stream(
         "s_digits", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init,
