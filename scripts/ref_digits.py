@@ -121,7 +121,7 @@ def accuracy(gp, ds, batch_size=512):
 
 def train_task(
     task_id, train_ds, val_ds, test_ds, prev_params, *, M, epochs, lr, beta,
-    batch_size, n_f, n_v, patience, eval_interval,
+    batch_size, n_f, n_v, patience, eval_interval, dkl=False,
 ):
     """One task of the reference protocol: create_clf, Adam, ELBO
     beta*kl_hypers + kl_u + (N/B)*lik, eval-every-10, early stop on val."""
@@ -129,7 +129,7 @@ def train_task(
     # (vargp.py:223-229) — pass copies so the stored chain stays intact
     gp = VARGP.create_clf(
         train_ds, M=M, n_f=n_f, n_var_samples=n_v,
-        prev_params=[copy.deepcopy(p) for p in prev_params],
+        prev_params=[copy.deepcopy(p) for p in prev_params], dkl=dkl,
     )
     optim = torch.optim.Adam(gp.parameters(), lr=lr)
     N = len(train_ds)
@@ -165,7 +165,7 @@ def train_task(
     return best["state"], best["accs"]
 
 
-def eval_matrix(chain, test_sets, *, M, n_f, n_v):
+def eval_matrix(chain, test_sets, *, M, n_f, n_v, dkl=False):
     """T x T accuracy matrix via the notebook chain-reload protocol
     (mnist.ipynb cell 12)."""
     T = len(chain)
@@ -177,7 +177,7 @@ def eval_matrix(chain, test_sets, *, M, n_f, n_v):
     for t in range(T):
         gp = VARGP.create_clf(
             dummy, M=M, n_f=n_f, n_var_samples=n_v,
-            prev_params=[copy.deepcopy(p) for p in chain[:t]],
+            prev_params=[copy.deepcopy(p) for p in chain[:t]], dkl=dkl,
         )
         gp.load_state_dict(chain[t])
         for s, ds in enumerate(test_sets):
@@ -194,6 +194,7 @@ def main():
     ap.add_argument("--batch_size", type=int, default=512)
     ap.add_argument("--patience", type=int, default=20)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--dkl", action="store_true")
     ap.add_argument("--n_tasks", type=int, default=5)
     ap.add_argument("--eval_nf", type=int, default=50)
     ap.add_argument("--eval_nv", type=int, default=20)
@@ -227,7 +228,7 @@ def main():
             t, train_ds, val_ds, test_ds, chain,
             M=args.M, epochs=args.epochs, lr=args.lr, beta=args.beta,
             batch_size=args.batch_size, n_f=10, n_v=3,
-            patience=args.patience, eval_interval=10,
+            patience=args.patience, eval_interval=10, dkl=args.dkl,
         )
         chain.append(state)
         summaries.append(accs)
@@ -235,7 +236,7 @@ def main():
     test_sets = [
         test_all.filter_classes([2 * t, 2 * t + 1]) for t in range(args.n_tasks)
     ]
-    acc = eval_matrix(chain, test_sets, M=args.M, n_f=args.eval_nf, n_v=args.eval_nv)
+    acc = eval_matrix(chain, test_sets, M=args.M, n_f=args.eval_nf, n_v=args.eval_nv, dkl=args.dkl)
     T = args.n_tasks
     bwt = float(np.mean(acc[-1, : T - 1] - np.diag(acc)[: T - 1]))
     out = dict(
