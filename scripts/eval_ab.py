@@ -20,14 +20,27 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def main():
+    import shutil
+
     from vargp_tpu.experiments.analysis import analyze_sdigits
     from vargp_tpu.experiments.vargp_run import split_digits
 
+    # resumable: completed (tag -> summary) entries are kept; an interrupted
+    # run's log_dir is wiped and re-run (a dead TPU tunnel mid-sweep should
+    # not cost the finished seeds)
     out = {}
+    if os.path.exists("results/eval_ab.json"):
+        with open("results/eval_ab.json") as f:
+            out = json.load(f)
     for resample in (False, True):
         for seed in (0, 1, 2):
             tag = f"resample={resample}/seed={seed}"
             log_dir = f"results/eval_ab/{'per_batch' if resample else 'shared'}_s{seed}"
+            if tag in out:
+                print(f"[eval_ab] {tag}: done, skipping", flush=True)
+                continue
+            if os.path.isdir(log_dir):
+                shutil.rmtree(log_dir)
             split_digits(
                 seed=seed, log_dir=log_dir,
                 eval_resample_per_batch=resample,
