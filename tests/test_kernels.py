@@ -146,6 +146,45 @@ def test_sym_gram_pallas_interpret_matches_reference():
         np.testing.assert_allclose(np.asarray(K), expect, rtol=1e-4, atol=1e-5)
 
 
+def test_sym_gram_tri_interpret_matches_reference():
+    """Triangle-skip variant (lower panels + in-VMEM mirror,
+    VARGP_TPU_SYMGRAM=tri) vs the einsum reference, covering a 1-panel
+    shape, a 2-panel shape with a partial last row panel (M=140 -> rows
+    144, cols 256), and a 3-panel flagship-like shape (M=300 -> rows
+    304, cols 384).  The mirror must reproduce the upper triangle
+    exactly (same dot, transposed copy)."""
+    from vargp_tpu.ops.pallas.rbf_gram import _sym_gram_4d_tri
+
+    rng = np.random.default_rng(11)
+    for O, M, D, H in ((2, 9, 7, 3), (1, 140, 5, 2), (1, 300, 4, 1)):
+        z = jnp.asarray(rng.standard_normal((O, M, D)).astype(np.float32))
+        invs = jnp.asarray(
+            np.exp(rng.standard_normal((H, D)) * 0.2).astype(np.float32)
+        )
+        gamma2 = jnp.asarray(np.exp(rng.standard_normal(H) * 0.2).astype(np.float32))
+        with jax.disable_jit():
+            K = _sym_gram_4d_tri.__wrapped__(z, invs, gamma2, interpret=True)
+        sz = np.asarray(z)[None] * np.asarray(invs)[:, None, None, :]
+        d2 = (
+            np.sum(sz**2, -1)[..., :, None]
+            - 2 * np.einsum("homd,hond->homn", sz, sz)
+            + np.sum(sz**2, -1)[..., None, :]
+        )
+        expect = np.asarray(gamma2)[:, None, None, None] * np.exp(-0.5 * np.maximum(d2, 0))
+        np.testing.assert_allclose(np.asarray(K), expect, rtol=1e-4, atol=1e-5)
+        # off-panel upper tiles are transposed COPIES of the lower ones —
+        # bitwise equal (within a 128-panel, d2's a/b summation order
+        # differs by rounding, so only near-symmetry holds there)
+        Kn = np.asarray(K)
+        np.testing.assert_allclose(
+            Kn, np.swapaxes(Kn, -1, -2), rtol=1e-6, atol=1e-7
+        )
+        if M > 128:
+            np.testing.assert_array_equal(
+                Kn[..., :128, 128:M], np.swapaxes(Kn[..., 128:M, :128], -1, -2)
+            )
+
+
 def test_sym_gram_hand_vjp_matches_ad():
     """_sym_gram_bwd (the TPU production backward) vs AD through the
     reference einsum formula — the CPU dispatch path never runs the hand

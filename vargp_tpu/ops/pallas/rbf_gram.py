@@ -210,6 +210,86 @@ def _make_sym_gram_whole_kernel(precision, R):
     return _kernel
 
 
+def _make_sym_gram_tri_kernel(precision, R, n_panels):
+    """Triangle-skip variant: compute only the lower-triangular 128-row
+    panels of the symmetric Gram and MIRROR the finished off-diagonal
+    tiles in VMEM (transpose-copy), skipping ~42% of the MXU FLOPs the
+    whole-block kernel spends on the (known) upper triangle.  Panel i
+    dots rows [128i, 128(i+1)) against columns [0, 128(i+1)) only.
+    """
+    def _kernel(z_ref, inv_ref, g2_ref, out_ref):
+        inv = inv_ref[0, 0]  # (D,)
+        sz = z_ref[0] * inv  # (C, D)
+        yy = jnp.sum(jnp.square(sz), axis=-1)  # (C,)
+        g2 = g2_ref[pl.program_id(0), 0]
+        for i in range(n_panels):
+            r0, r1 = 128 * i, min(128 * (i + 1), R)
+            c1 = 128 * (i + 1)
+            sx = sz[r0:r1]  # (Pi, D) static slice
+            xy = jax.lax.dot_general(
+                sx,
+                sz[:c1],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
+            d2 = jnp.maximum(yy[r0:r1, None] - 2.0 * xy + yy[None, :c1], 0.0)
+            k = g2 * jnp.exp(-0.5 * d2)  # (Pi, c1)
+            out_ref[0, 0, r0:r1, :c1] = k
+            for j in range(i):  # mirror finished off-diagonal tiles
+                out_ref[0, 0, 128 * j:128 * (j + 1), r0:r1] = (
+                    k[:, 128 * j:128 * (j + 1)].T
+                )
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("precision", "interpret"))
+def _sym_gram_4d_tri(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
+                     precision=jax.lax.Precision.HIGHEST,
+                     interpret=False) -> jax.Array:
+    """Triangle-skip whole-block symmetric Gram; same contract as
+    ``_sym_gram_4d``.  Opt-in via VARGP_TPU_SYMGRAM=tri until measured
+    faster on hardware (the mirror transposes trade VPU time for MXU
+    FLOPs; profitability is shape-dependent)."""
+    O, M, D = z.shape
+    H = invs.shape[0]
+    R = _round_up(M, 8)
+    C = _round_up(M, TILE_N)
+    Dp = _round_up(D, 128)
+    z_p = jnp.pad(z, ((0, 0), (0, C - M), (0, Dp - D)))
+    invs_p = jnp.pad(invs, ((0, 0), (0, Dp - D)))
+    n_panels = C // 128
+
+    out = pl.pallas_call(
+        _make_sym_gram_tri_kernel(precision, R, n_panels),
+        grid=(H, O),
+        in_specs=[
+            pl.BlockSpec(
+                (1, C, Dp), lambda h, o: (o, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, Dp), lambda h, o: (h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, R, C), lambda h, o: (h, o, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, O, R, C), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=H * O * R * C * Dp,  # ~half the full-block dot
+            bytes_accessed=4 * (H * O * C * Dp + H * O * R * C),
+            transcendentals=H * O * R * C // 2,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(z_p, invs_p[:, None, :], gamma2.reshape(H, 1).astype(jnp.float32))
+    return out[:, :, :M, :M]
+
+
 @functools.partial(jax.jit, static_argnames=("precision",))
 def _sym_gram_4d(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
                  precision=jax.lax.Precision.HIGHEST) -> jax.Array:
@@ -268,6 +348,10 @@ def sym_gram_pallas(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
     z: (O, M, D); invs = exp(-log_ls): (H, D); gamma2: (H,).
     Returns (H, O, M, M), numerically identical to
     ``kernels.rbf.gram(theta, z)`` (tested)."""
+    import os
+
+    if os.environ.get("VARGP_TPU_SYMGRAM") == "tri":
+        return _sym_gram_4d_tri(z, invs, gamma2, precision)
     return _sym_gram_4d(z, invs, gamma2, precision)
 
 
