@@ -9,7 +9,21 @@ plus the analysis/bench additions.
 
 import ast
 import inspect
+import os
 import sys
+
+
+def _pin_platform(name: str) -> None:
+    """Pin the JAX backend BEFORE first device use.
+
+    ``--platform=cpu`` / ``VARGP_TPU_PLATFORM=cpu`` is the supported way
+    to run experiments when the TPU is unavailable (e.g. a dead tunnel,
+    where the first device touch blocks forever — the JAX_PLATFORMS env
+    var alone does not help against force-registered PJRT plugins).
+    """
+    import jax
+
+    jax.config.update("jax_platforms", name)
 
 
 def _commands():
@@ -82,6 +96,9 @@ def main(argv=None):
         print(f"unknown command {name!r}; run with --help")
         return 1
     args, kwargs = _parse_args(argv[1:])
+    platform = kwargs.pop("platform", os.environ.get("VARGP_TPU_PLATFORM"))
+    if platform:
+        _pin_platform(str(platform))
     cmds[name](*args, **kwargs)
     return 0
 

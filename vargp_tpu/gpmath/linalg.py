@@ -121,7 +121,20 @@ def _diag_chol(A: jax.Array) -> jax.Array:
     blockdiag(K, I) is blockdiag(chol K, I), so the slice-back is exact.
     Elsewhere (CPU tests, GPU) it is jnp.linalg.cholesky.
     Opt out with VARGP_TPU_DIAG_CHOL=xla.
+
+    Multi-device: routed through a custom_partitioning wrapper so the
+    leading (hyper, class) batch axes stay sharded over the mesh instead
+    of the opaque kernel call being replicated (ops.partition).
     """
+    from vargp_tpu.ops.partition import diag_chol_partitioned, partition_enabled
+
+    if partition_enabled():
+        return diag_chol_partitioned(A)
+    return _diag_chol_impl(A)
+
+
+def _diag_chol_impl(A: jax.Array) -> jax.Array:
+    """Backend-dispatching body of ``_diag_chol`` (no partitioning)."""
     S = A.shape[-1]
     if S > 128 or os.environ.get("VARGP_TPU_DIAG_CHOL") == "xla":
         return jnp.linalg.cholesky(A)

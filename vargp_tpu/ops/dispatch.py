@@ -110,7 +110,13 @@ def sym_gram(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
     prec = (
         jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.HIGH
     )
-    if get_backend() == "pallas" and precision == "highest":
+    from vargp_tpu.ops.partition import partition_enabled
+
+    # Also route through sym_gram_pallas when kernel partitioning is on:
+    # its primal then goes through the custom_partitioning wrapper (with
+    # the XLA math on non-TPU backends), keeping the class axis sharded
+    # on a mesh — see ops/partition.py.
+    if precision == "highest" and (get_backend() == "pallas" or partition_enabled()):
         try:
             from vargp_tpu.ops.pallas.rbf_gram import sym_gram_pallas
 

@@ -340,6 +340,29 @@ def _sym_gram_4d(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
     return out[:, :, :M, :M]
 
 
+def _sym_gram_impl(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
+                   precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Backend-dispatching symmetric-Gram body (no VJP, no partitioning).
+
+    Mosaic kernels on TPU-like backends; the equivalent XLA math
+    elsewhere, which lets ops.partition's CPU-mesh tests (and the
+    8-virtual-device dryrun) exercise the partitioning rule that wraps
+    this function."""
+    import os
+
+    from vargp_tpu.ops.dispatch import get_backend
+
+    if get_backend() == "pallas":
+        if os.environ.get("VARGP_TPU_SYMGRAM") == "tri":
+            return _sym_gram_4d_tri(z, invs, gamma2, precision)
+        return _sym_gram_4d(z, invs, gamma2, precision)
+    sz = z[None] * invs[:, None, None, :]  # (H, O, M, D)
+    nn = jnp.sum(jnp.square(sz), axis=-1)  # (H, O, M)
+    xy = jnp.einsum("homd,hond->homn", sz, sz, precision=precision)
+    d2 = jnp.maximum(nn[..., :, None] - 2.0 * xy + nn[..., None, :], 0.0)
+    return gamma2[:, None, None, None] * jnp.exp(-0.5 * d2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def sym_gram_pallas(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
                     precision=jax.lax.Precision.HIGHEST) -> jax.Array:
@@ -348,11 +371,13 @@ def sym_gram_pallas(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
     z: (O, M, D); invs = exp(-log_ls): (H, D); gamma2: (H,).
     Returns (H, O, M, M), numerically identical to
     ``kernels.rbf.gram(theta, z)`` (tested)."""
-    import os
+    from vargp_tpu.ops.partition import partition_enabled, sym_gram_partitioned
 
-    if os.environ.get("VARGP_TPU_SYMGRAM") == "tri":
-        return _sym_gram_4d_tri(z, invs, gamma2, precision)
-    return _sym_gram_4d(z, invs, gamma2, precision)
+    if partition_enabled():
+        # multi-device: GSPMD rule keeps the class/hyper axes sharded
+        # instead of replicating the opaque kernel call (ops.partition)
+        return sym_gram_partitioned(z, invs, gamma2, precision)
+    return _sym_gram_impl(z, invs, gamma2, precision)
 
 
 def _sym_gram_fwd(z, invs, gamma2, precision):
