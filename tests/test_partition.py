@@ -103,6 +103,29 @@ def test_sym_gram_partitioned_inside_scan(mesh, monkeypatch):
     np.testing.assert_allclose(float(total), float(expect), rtol=1e-5)
 
 
+def test_rbf_gram_partitioned_matches_and_stays_sharded(mesh, monkeypatch):
+    """The generic Gram (the DKL Kzz path): kernels.rbf.gram pre-scales
+    to (H, O, M, D); the class axis must stay sharded through it."""
+    theta = jax.random.normal(jax.random.PRNGKey(4), (3, 8)) * 0.1
+    z = jax.random.normal(jax.random.PRNGKey(5), (10, 16, 7))
+    from vargp_tpu.kernels import rbf
+
+    monkeypatch.setenv("VARGP_TPU_PARTITION_KERNELS", "0")
+    ref = jax.jit(lambda t, z_: rbf.gram(t, z_))(theta, z)
+    gref = jax.jit(
+        jax.grad(lambda z_: jnp.sum(jnp.cos(rbf.gram(theta, z_))))
+    )(z)
+    monkeypatch.setenv("VARGP_TPU_PARTITION_KERNELS", "auto")
+    zs = jax.device_put(z, NamedSharding(mesh, P("model", None, None)))
+    out = jax.jit(lambda t, z_: rbf.gram(t, z_))(theta, zs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-6)
+    assert out.sharding.spec[1] == "model"
+    g = jax.jit(jax.grad(lambda z_: jnp.sum(jnp.cos(rbf.gram(theta, z_)))))(zs)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(gref), rtol=2e-4, atol=2e-4
+    )
+
+
 @pytest.mark.parametrize("batch", [(6,), (3, 10)])
 def test_diag_chol_partitioned_ranks(mesh, batch):
     K = _spd(batch, 128)

@@ -84,7 +84,12 @@ def rbf_gram(sx: jax.Array, sy: jax.Array, gamma2: jax.Array,
     )
     # Mosaic only lowers DEFAULT/HIGHEST dot precisions; HIGH (bf16x3) Grams
     # go through XLA, whose fusion of the scale+dot+exp chain is fine.
-    if get_backend() == "pallas" and precision == "highest":
+    # Partition-enabled (multi-device) traces also route through
+    # rbf_gram_pallas so its custom_partitioning wrapper keeps sharded
+    # batch axes local — see ops/partition.py.
+    from vargp_tpu.ops.partition import partition_enabled
+
+    if precision == "highest" and (get_backend() == "pallas" or partition_enabled()):
         try:
             from vargp_tpu.ops.pallas.rbf_gram import rbf_gram_pallas
 

@@ -83,6 +83,35 @@ def _gram_3d(sx: jax.Array, sy: jax.Array, gamma2: jax.Array,
     return out[:, :M, :N]
 
 
+def _rbf_gram_impl(sx: jax.Array, sy: jax.Array, g2: jax.Array,
+                   precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Backend-dispatching Gram body on batch-normalized operands.
+
+    sx: (B..., M, D); sy: (B..., N, D); g2: (B...,) — batch dims already
+    broadcast to a common shape.  Mosaic kernel on TPU-like backends
+    (flatten batch -> grid), the equivalent XLA math elsewhere so
+    ops.partition's CPU-mesh tests exercise the partitioning rule that
+    wraps this function."""
+    from vargp_tpu.ops.dispatch import get_backend
+
+    batch = sx.shape[:-2]
+    M, D = sx.shape[-2:]
+    N = sy.shape[-2]
+    if get_backend() == "pallas":
+        out = _gram_3d(
+            sx.reshape(-1, M, D),
+            sy.reshape(-1, N, D),
+            g2.reshape(-1).astype(jnp.float32),
+            precision=precision,
+        )
+        return out.reshape(*batch, M, N)
+    xx = jnp.sum(jnp.square(sx), axis=-1)
+    yy = jnp.sum(jnp.square(sy), axis=-1)
+    xy = jnp.einsum("...md,...nd->...mn", sx, sy, precision=precision)
+    d2 = jnp.maximum(xx[..., :, None] - 2.0 * xy + yy[..., None, :], 0.0)
+    return g2[..., None, None] * jnp.exp(-0.5 * d2)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def rbf_gram_pallas(sx: jax.Array, sy: jax.Array, gamma2: jax.Array,
                     precision=jax.lax.Precision.HIGHEST) -> jax.Array:
@@ -100,13 +129,19 @@ def rbf_gram_pallas(sx: jax.Array, sy: jax.Array, gamma2: jax.Array,
     M, D = sx.shape[-2:]
     N = sy.shape[-2]
 
-    sx_b = jnp.broadcast_to(sx, (*batch, M, D)).reshape(-1, M, D)
-    sy_b = jnp.broadcast_to(sy, (*batch, N, D)).reshape(-1, N, D)
+    sx_b = jnp.broadcast_to(sx, (*batch, M, D))
+    sy_b = jnp.broadcast_to(sy, (*batch, N, D))
     # gamma2 is constant within a Gram block in all call sites
-    g2_b = jnp.broadcast_to(gamma2[..., :1, :1], (*batch, 1, 1)).reshape(-1)
+    g2_b = jnp.broadcast_to(gamma2[..., :1, :1], (*batch, 1, 1)).reshape(batch)
 
-    out = _gram_3d(sx_b, sy_b, g2_b.astype(jnp.float32), precision=precision)
-    return out.reshape(*batch, M, N)
+    from vargp_tpu.ops.partition import partition_enabled, rbf_gram_partitioned
+
+    if partition_enabled() and batch:
+        # multi-device: the batch flatten above would force an all-gather
+        # of any sharded (class) batch axis; the partitioned wrapper
+        # flattens shard-locally instead (ops.partition)
+        return rbf_gram_partitioned(sx_b, sy_b, g2_b, precision)
+    return _rbf_gram_impl(sx_b, sy_b, g2_b, precision)
 
 
 def _rbf_gram_fwd(sx, sy, gamma2, precision=jax.lax.Precision.HIGHEST):

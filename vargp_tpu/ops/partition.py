@@ -100,6 +100,44 @@ def sym_gram_partitioned(z, invs, gamma2, precision):
 
 
 # ---------------------------------------------------------------------------
+# Generic RBF Gram (the DKL Kzz path): sx (B..., M, D), sy (B..., N, D),
+# g2 (B...,) -> (B..., M, N), batch-parallel over every leading dim.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _rbf_gram_part(nbatch: int):
+    from vargp_tpu.ops.pallas.rbf_gram import _rbf_gram_impl
+
+    assert 1 <= nbatch <= 8, nbatch  # callers always pass real batch dims
+    f = custom_partitioning(_rbf_gram_impl, static_argnums=(3,))
+    bs = " ".join(string.ascii_lowercase[:nbatch])
+    rule = f"{bs} u w, {bs} v w, {bs} -> {bs} u v"
+
+    def part(precision, mesh, arg_shapes, result_shape):
+        sx_s = arg_shapes[0].sharding
+        batch = [_dim_entry(sx_s, d) for d in range(nbatch)]
+        arg_sh = (
+            NamedSharding(mesh, P(*batch, None, None)),
+            NamedSharding(mesh, P(*batch, None, None)),
+            NamedSharding(mesh, P(*batch)),
+        )
+        res_sh = NamedSharding(mesh, P(*batch, None, None))
+
+        def lower(sx, sy, g2):
+            return _rbf_gram_impl(sx, sy, g2, precision)
+
+        return mesh, lower, res_sh, arg_sh
+
+    f.def_partition(partition=part, sharding_rule=rule)
+    return f
+
+
+def rbf_gram_partitioned(sx, sy, g2, precision):
+    return _rbf_gram_part(g2.ndim)(sx, sy, g2, precision)
+
+
+# ---------------------------------------------------------------------------
 # Diagonal-block Cholesky: K (..., S, S) -> L (..., S, S), batch-parallel
 # over every leading dim.  Rank-generic via a per-ndim wrapper cache.
 # ---------------------------------------------------------------------------
