@@ -201,20 +201,29 @@ def chol_and_inv_blocked(K: jax.Array, block_m: int):
 
     L = jnp.concatenate([pad_col(c, t) for t, c in enumerate(cols)], axis=-1)
 
-    # inverse: row-block assembly by concatenation
-    X = jnp.concatenate(
-        [dinvs[0], jnp.zeros((*batch, block_m, S - block_m), K.dtype)],
-        axis=-1,
-    )
+    # inverse: row-block assembly in the contribution-accumulation form
+    # (each finished row kept FULL WIDTH; row t's prefix product is a sum
+    # of block x r0 matmuls over finished rows).  A growing
+    # jnp.concatenate carry copies O(T^2) row blocks — measured +33% on
+    # the M=1024 step at 8 blocks when tri_inv used that shape (see
+    # tri_inv's docstring note); each row here is copied exactly twice.
+    def full_row(t, row_left):
+        r0, r1 = t * block_m, (t + 1) * block_m
+        parts = ([row_left] if t else []) + [dinvs[t]]
+        if S - r1:
+            parts.append(jnp.zeros((*batch, block_m, S - r1), K.dtype))
+        return jnp.concatenate(parts, axis=-1)
+
+    rows = [full_row(0, None)]
     for t in range(1, T):
         r0, r1 = t * block_m, (t + 1) * block_m
-        row = -mm_(dinvs[t], mm_(L[..., r0:r1, :r0], X[..., :t * block_m, :r0]))
-        Xrow = jnp.concatenate(
-            [row, dinvs[t], jnp.zeros((*batch, block_m, S - r1), K.dtype)],
-            axis=-1,
-        )
-        X = jnp.concatenate([X, Xrow], axis=-2)
-    return L, X
+        acc = None
+        for j in range(t):
+            Lij = L[..., r0:r1, j * block_m : (j + 1) * block_m]
+            contrib = mm_(Lij, rows[j][..., :r0])
+            acc = contrib if acc is None else acc + contrib
+        rows.append(full_row(t, -mm_(dinvs[t], acc)))
+    return L, jnp.concatenate(rows, axis=-2)
 
 
 def tri_inv(L: jax.Array, block: int = _TRI_INV_BLOCK) -> jax.Array:
