@@ -309,6 +309,25 @@ def test_ar_joint_posterior_fast_matches_fold():
     )
 
 
+def test_ar_joint_posterior_fast_single_block_is_exact_identity():
+    """T == 1: the fold is the identity (G = L L^{-1} = I), so the fast
+    path must return u_mean/u_tril EXACTLY (no L-dependent rounding) —
+    this is also the M=1024 single-task hot path (flops_audit: the
+    identity round-trip was ~25% of that step's matmul FLOPs)."""
+    rng = np.random.default_rng(13)
+    M = 6
+    K = rand_spd(rng, n=M).astype(np.float32)
+    u_mean = rng.standard_normal((M, 1)).astype(np.float32)
+    u_tril = np.linalg.cholesky(rand_spd(rng, n=M)).astype(np.float32)
+    L = gpmath.cholesky(jnp.asarray(K))
+    Li = gpmath.tri_inv(L)
+    fast = gpmath.ar_joint_posterior_fast(
+        L, Li, [jnp.asarray(u_mean)], [jnp.asarray(u_tril)]
+    )
+    np.testing.assert_array_equal(np.asarray(fast.mean), u_mean)
+    np.testing.assert_array_equal(np.asarray(fast.LS), u_tril)
+
+
 @pytest.mark.slow
 def test_chol_and_inv_blocked_matches_monolithic():
     rng = np.random.default_rng(11)

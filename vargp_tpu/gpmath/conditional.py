@@ -209,6 +209,17 @@ def ar_joint_posterior_fast(
     T = len(sizes)
     M = sizes[0]
 
+    if T == 1:
+        # single block: G = L . blockdiag(L^{-1}) = I, so the fold is the
+        # identity — q(u_0) is exactly N(u_mean, u_tril u_tril^T).  Skipping
+        # the two matmuls is both exact (no bf16x3 round-trip) and removes
+        # ~25% of the M=1024 single-task step's matmul FLOPs (flops_audit).
+        # Parity: the reference also special-cases task 0 (vargp.py:156-173).
+        return ARPosterior(
+            mean=jnp.broadcast_to(u_means[0], (*batch, M, 1)),
+            LS=jnp.broadcast_to(u_trils[0], (*batch, M, M)),
+        )
+
     if any(m != M for m in sizes):
         # unequal block sizes (e.g. grown global chains): generic fold
         return ar_joint_posterior(L_full, u_means, u_trils, L_inv=L_inv)
