@@ -373,6 +373,39 @@ def test_chol_and_inv_dispatch_general_shapes():
         )
 
 
+def test_chol_and_inv_tri_bwd_matches_dense(monkeypatch):
+    """The triangular-skip backward (VARGP_TPU_TRI_BWD=1) must reproduce
+    the dense rule's K-gradient, including with DENSE (L, L^{-1})
+    cotangents (consumers like mvn_sample's einsum emit them; the
+    structural tril-read argument says their upper parts are ignored —
+    verify that holds through the block decomposition)."""
+    from vargp_tpu.ops.dispatch import _tri_bwd_split, chol_and_inv
+
+    assert _tri_bwd_split(511) is None  # too small / env off
+    monkeypatch.setenv("VARGP_TPU_TRI_BWD", "1")
+    assert _tri_bwd_split(1024) == 512
+    assert _tri_bwd_split(1000) == 512
+    assert _tri_bwd_split(511) is None
+
+    rng = np.random.default_rng(23)
+    S = 512
+    K = rand_spd(rng, 2, n=S)
+    C1 = rng.standard_normal((2, S, S)).astype(np.float32)  # dense cotangents
+    C2 = rng.standard_normal((2, S, S)).astype(np.float32)
+
+    def loss(K_):
+        L, Linv = chol_and_inv(K_)
+        return jnp.sum(L * C1) + jnp.sum(Linv * C2)
+
+    monkeypatch.setenv("VARGP_TPU_TRI_BWD", "0")
+    g_dense = jax.grad(lambda K_: loss(K_))(jnp.asarray(K))
+    monkeypatch.setenv("VARGP_TPU_TRI_BWD", "1")
+    g_tri = jax.grad(lambda K_: loss(K_))(jnp.asarray(K))
+    np.testing.assert_allclose(
+        np.asarray(g_tri), np.asarray(g_dense), rtol=2e-4, atol=2e-4
+    )
+
+
 def test_mixed_precision_matmul_vjps():
     """mm/mtm/mmt (f32 fwd, bf16x3 bwd) must match plain einsum values AND
     gradients exactly on CPU (precision hints are TPU-only)."""

@@ -234,11 +234,100 @@ def _chol_and_inv_fwd(block_m, K):
     return (L, Linv), (L, Linv)
 
 
+def _tri_bwd_split(S: int) -> int | None:
+    """Lane-aligned 2-block split for the triangular-skip backward, or
+    None when the matrix is too small for the skipping to pay."""
+    if S < 512 or os.environ.get("VARGP_TPU_TRI_BWD") != "1":
+        return None
+    h = max(128, round(S / 256) * 128)  # nearest lane-aligned halfway split
+    return h if S - h >= 128 else None
+
+
+def _chol_bwd_blocked(L, Linv, GL, Ginv, h):
+    """Triangular-skip variant of the dense rule below (opt-in via
+    VARGP_TPU_TRI_BWD=1 until measured on hardware).
+
+    All four operands are (effectively) lower-triangular: a structural
+    index argument shows each product only ever reads the lower parts —
+    tril(U G U) reads G_jk only at j >= k, tril(L^T B) reads B_kj only at
+    k >= j — so a 2x2 block split can skip the strictly-upper blocks and
+    one mirror of the symmetric K̄, dropping the five dense (S, S)^2 dots
+    (40 half-size dot units) to 22: ~45% of the backward's matmul FLOPs
+    (322 GFLOP at the M=1024 bench shape, scripts/flops_audit.py).
+    Results differ from the dense rule only by blocked accumulation
+    order (tested).
+    """
+    from vargp_tpu.gpmath.linalg import _BWD
+
+    TN = "...ji,...jk->...ik"  # a^T @ b
+    NT = "...ij,...kj->...ik"  # a @ b^T
+    NN = "...ij,...jk->...ik"
+    e = lambda pat, a, b: jnp.einsum(pat, a, b, precision=_BWD)
+    S = L.shape[-1]
+    a1, a2, a3 = Linv[..., :h, :h], Linv[..., h:, :h], Linv[..., h:, h:]
+    g1, g2, g3 = Ginv[..., :h, :h], Ginv[..., h:, :h], Ginv[..., h:, h:]
+
+    # extra = -(Linv^T Ginv Linv^T); only its lower blocks survive *tril
+    P11 = e(NT, g1, a1)
+    P21 = e(NT, g2, a1)
+    P22 = e(NT, g2, a2) + e(NT, g3, a3)
+    E11 = e(TN, a1, P11) + e(TN, a2, P21)
+    E21 = e(TN, a3, P21)
+    E22 = e(TN, a3, P22)
+    z12 = jnp.zeros((*E11.shape[:-1], S - h), L.dtype)
+    extra = -jnp.concatenate(
+        [
+            jnp.concatenate([E11, z12], axis=-1),
+            jnp.concatenate([E21, E22], axis=-1),
+        ],
+        axis=-2,
+    )
+    tril = jnp.tril(jnp.ones((S, S), L.dtype))
+    B = GL + extra * tril
+
+    # Phi needs only tril(L^T B) (k >= i >= j index argument)
+    l1, l2, l3 = L[..., :h, :h], L[..., h:, :h], L[..., h:, h:]
+    b1, b2, b3 = B[..., :h, :h], B[..., h:, :h], B[..., h:, h:]
+    S11 = e(TN, l1, b1) + e(TN, l2, b2)
+    S21 = e(TN, l3, b2)
+    S22 = e(TN, l3, b3)
+    z12s = jnp.zeros((*S11.shape[:-1], S - h), L.dtype)
+    Smat = jnp.concatenate(
+        [
+            jnp.concatenate([S11, z12s], axis=-1),
+            jnp.concatenate([S21, S22], axis=-1),
+        ],
+        axis=-2,
+    )
+    Phi = Smat * tril - 0.5 * jnp.eye(S, dtype=L.dtype) * Smat
+    sym = Phi + jnp.swapaxes(Phi, -1, -2)
+
+    # K̄ = 0.5 Linv^T sym Linv is symmetric: compute K12 as K21^T
+    y1, y21, y3 = sym[..., :h, :h], sym[..., h:, :h], sym[..., h:, h:]
+    Q11 = e(NN, y1, a1) + e(TN, y21, a2)
+    Q21 = e(NN, y21, a1) + e(NN, y3, a2)
+    Q22 = e(NN, y3, a3)
+    K11 = e(TN, a1, Q11) + e(TN, a2, Q21)
+    K21 = e(TN, a3, Q21)
+    K22 = e(TN, a3, Q22)
+    Kbar = 0.5 * jnp.concatenate(
+        [
+            jnp.concatenate([K11, jnp.swapaxes(K21, -1, -2)], axis=-1),
+            jnp.concatenate([K21, K22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return (Kbar,)
+
+
 def _chol_and_inv_bwd(block_m, res, cots):
     from vargp_tpu.gpmath.linalg import _BWD
 
     L, Linv = res
     GL, Ginv = cots
+    h = _tri_bwd_split(L.shape[-1])
+    if h is not None:
+        return _chol_bwd_blocked(L, Linv, GL, Ginv, h)
     tril = jnp.tril(jnp.ones(L.shape[-2:], L.dtype))
 
     # d(L^{-1}) = -L^{-1} dL L^{-1}  =>  L_bar += -(L^{-T} Ginv L^{-T}) . tril
