@@ -212,6 +212,72 @@ def test_whitened_marginal_diag_matches_linear_marginal_diag():
     np.testing.assert_allclose(np.asarray(f_var), np.asarray(ref_var), rtol=1e-2, atol=1e-3)
 
 
+def test_tri_half_split_gating():
+    from vargp_tpu.gpmath.linalg import tri_half_split
+
+    assert tri_half_split(300) is None
+    assert tri_half_split(511) is None
+    assert tri_half_split(512) == 256 or tri_half_split(512) == 128
+    assert tri_half_split(1024) == 512
+    assert tri_half_split(1000) == 512
+
+
+def test_mvn_kl_tri_skip_matches_solve_path_at_scale():
+    """k >= 512 triggers the block-triangular trace: must match the
+    tri_solve path (no Lp_inv) within f32 tolerance, including gradients
+    through both Ls."""
+    rng = np.random.default_rng(29)
+    k = 512
+    mq = rng.standard_normal((2, k)).astype(np.float32)
+    mp = rng.standard_normal((2, k)).astype(np.float32)
+    Lq = np.linalg.cholesky(rand_spd(rng, 2, n=k)).astype(np.float32)
+    Lp = np.linalg.cholesky(rand_spd(rng, 2, n=k)).astype(np.float32)
+    Lp_inv = gpmath.tri_inv(jnp.asarray(Lp))
+
+    def f(Lq_, inv):
+        return jnp.sum(
+            gpmath.mvn_kl(
+                jnp.asarray(mq), Lq_, jnp.asarray(mp), jnp.asarray(Lp),
+                Lp_inv=inv,
+            )
+        )
+
+    v_skip, g_skip = jax.value_and_grad(f)(jnp.asarray(Lq), Lp_inv)
+    v_ref, g_ref = jax.value_and_grad(f)(jnp.asarray(Lq), None)
+    np.testing.assert_allclose(float(v_skip), float(v_ref), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(g_skip), np.asarray(g_ref), rtol=5e-3, atol=5e-3
+    )
+
+
+def test_whitened_marginal_diag_tri_skip_at_scale():
+    """M >= 512 triggers the blocked LLS/C contraction in the L_inv
+    branch: values must match the tri_solve branch."""
+    rng = np.random.default_rng(31)
+    M, B = 512, 16
+    K = rand_spd(rng, n=M)
+    m = rng.standard_normal((M, 1)).astype(np.float32)
+    LS = np.linalg.cholesky(rand_spd(rng, n=M)).astype(np.float32)
+    Kzx = rng.standard_normal((M, B)).astype(np.float32)
+    kxx = (np.abs(rng.standard_normal(B)) + float(M)).astype(np.float32)
+
+    L = gpmath.cholesky(jnp.asarray(K))
+    Li = gpmath.tri_inv(L)
+    mu_skip, var_skip = gpmath.whitened_marginal_diag(
+        L, jnp.asarray(m), jnp.asarray(LS), jnp.asarray(Kzx), jnp.asarray(kxx),
+        L_inv=Li,
+    )
+    mu_ref, var_ref = gpmath.whitened_marginal_diag(
+        L, jnp.asarray(m), jnp.asarray(LS), jnp.asarray(Kzx), jnp.asarray(kxx)
+    )
+    np.testing.assert_allclose(
+        np.asarray(mu_skip), np.asarray(mu_ref), rtol=1e-3, atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(var_skip), np.asarray(var_ref), rtol=1e-2, atol=1e-2
+    )
+
+
 class TestTorchOracle:
     """Bit-level-ish parity with the reference implementation."""
 

@@ -28,7 +28,16 @@ from typing import NamedTuple, Sequence
 import jax
 import jax.numpy as jnp
 
-from vargp_tpu.gpmath.linalg import _HIGHEST, cholesky, mm, mm_h, mtm, mtm_h, tri_solve
+from vargp_tpu.gpmath.linalg import (
+    _HIGHEST,
+    cholesky,
+    mm,
+    mm_h,
+    mtm,
+    mtm_h,
+    tri_half_split,
+    tri_solve,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -279,8 +288,30 @@ def whitened_marginal_diag(
         # these feed only the predictive marginal, whose downstream use is
         # n_f-sampled softmax draws — MC noise dwarfs bf16x3 rounding.
         Lm = mm_h(L_inv, mean)
-        LLS = mm_h(L_inv, LS)
         W = mm_h(L_inv, Kzx)
+        h = tri_half_split(M)
+        if h is not None:
+            # L_inv and LS are both lower-triangular: block-skip the
+            # structurally-zero upper of LLS = L_inv LS and contract the
+            # C = LLS^T W product per block row (no assembled LLS needed)
+            # — half + a quarter of those two dots' FLOPs at M >= 512.
+            # Shape-gated: parity protocols (M <= 300) are untouched.
+            a1, a2, a3 = L_inv[..., :h, :h], L_inv[..., h:, :h], L_inv[..., h:, h:]
+            s1, s2, s3 = LS[..., :h, :h], LS[..., h:, :h], LS[..., h:, h:]
+            M11 = mm_h(a1, s1)
+            M21 = mm_h(a2, s1) + mm_h(a3, s2)
+            M22 = mm_h(a3, s3)
+            W1, W2 = W[..., :h, :], W[..., h:, :]
+            Ctop = mtm_h(M11, W1) + mtm_h(M21, W2)
+            Cbot = mtm_h(M22, W2)
+            f_mean = jnp.einsum("...mi,...mb->...b", Lm, W, precision=_HIGHEST)
+            diag1 = jnp.sum(jnp.square(W), axis=-2)
+            diag2 = jnp.sum(jnp.square(Ctop), axis=-2) + jnp.sum(
+                jnp.square(Cbot), axis=-2
+            )
+            f_var = jnp.maximum(Kxx_diag - diag1 + diag2, 0.0)
+            return f_mean, f_var
+        LLS = mm_h(L_inv, LS)
     else:
         # triangular-solve path: one batched solve for all three
         rhs = jnp.concatenate(

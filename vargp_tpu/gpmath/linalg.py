@@ -317,6 +317,19 @@ def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.einsum("...ij,...jk->...ik", a, b, precision=_HIGHEST)
 
 
+def tri_half_split(k: int) -> int | None:
+    """Nearest lane-aligned (multiple-of-128) halfway split for
+    block-triangular matmul skipping, or None when k < 512 — below that
+    the saved FLOPs don't cover the extra dispatches.  Shared by the
+    mvn_kl trace, the whitened marginal, and the factorization backward
+    (ops.dispatch); production parity protocols all run k <= 300, so
+    gating on k keeps their compiled programs bit-identical."""
+    if k < 512:
+        return None
+    h = max(128, round(k / 256) * 128)
+    return h if k - h >= 128 else None
+
+
 # ---------------------------------------------------------------------------
 # Mixed-precision matmuls: f32 forward, bf16x3 backward (see _BWD above)
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from vargp_tpu.gpmath.linalg import mm, tri_solve, _HIGHEST
+from vargp_tpu.gpmath.linalg import mm, tri_half_split, tri_solve, _HIGHEST
 
 
 def _log_diag(L: jax.Array) -> jax.Array:
@@ -44,13 +44,30 @@ def mvn_kl(
     # tr(Sigma_p^{-1} Sigma_q) = || L_p^{-1} L_q ||_F^2
     Lq_b = jnp.broadcast_to(L_q, jnp.broadcast_shapes(L_q.shape, L_p.shape))
     diff = (mu_p - mu_q)[..., None]
-    if Lp_inv is not None:
+    h = tri_half_split(k) if Lp_inv is not None else None
+    if h is not None:
+        # both factors are lower-triangular, so the product is too: a 2x2
+        # block split skips the structurally-zero upper block (half the
+        # matmul FLOPs at k=1024 — flops_audit) and the Frobenius trace
+        # never needs the assembled matrix.  Shape-gated to k >= 512:
+        # every parity protocol runs k <= 300, so their trajectories are
+        # bit-identical.
+        a1, a2, a3 = Lp_inv[..., :h, :h], Lp_inv[..., h:, :h], Lp_inv[..., h:, h:]
+        b1, b2, b3 = Lq_b[..., :h, :h], Lq_b[..., h:, :h], Lq_b[..., h:, h:]
+        trace = (
+            jnp.sum(jnp.square(mm(a1, b1)), axis=(-2, -1))
+            + jnp.sum(jnp.square(mm(a2, b1) + mm(a3, b2)), axis=(-2, -1))
+            + jnp.sum(jnp.square(mm(a3, b3)), axis=(-2, -1))
+        )
+        w = mm(Lp_inv, diff)
+    elif Lp_inv is not None:
         M = mm(Lp_inv, Lq_b)
         w = mm(Lp_inv, diff)
+        trace = jnp.sum(jnp.square(M), axis=(-2, -1))
     else:
         M = tri_solve(L_p, Lq_b)
         w = tri_solve(L_p, diff)
-    trace = jnp.sum(jnp.square(M), axis=(-2, -1))
+        trace = jnp.sum(jnp.square(M), axis=(-2, -1))
     maha = jnp.sum(jnp.square(w), axis=(-2, -1))
     # log|Sigma_p| - log|Sigma_q| = 2 (sum log diag L_p - sum log diag L_q)
     logdet = jnp.sum(_log_diag(L_p), axis=-1) - jnp.sum(_log_diag(L_q), axis=-1)

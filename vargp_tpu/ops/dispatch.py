@@ -237,10 +237,11 @@ def _chol_and_inv_fwd(block_m, K):
 def _tri_bwd_split(S: int) -> int | None:
     """Lane-aligned 2-block split for the triangular-skip backward, or
     None when the matrix is too small for the skipping to pay."""
-    if S < 512 or os.environ.get("VARGP_TPU_TRI_BWD") != "1":
+    if os.environ.get("VARGP_TPU_TRI_BWD") != "1":
         return None
-    h = max(128, round(S / 256) * 128)  # nearest lane-aligned halfway split
-    return h if S - h >= 128 else None
+    from vargp_tpu.gpmath.linalg import tri_half_split
+
+    return tri_half_split(S)
 
 
 def _chol_bwd_blocked(L, Linv, GL, Ginv, h):
