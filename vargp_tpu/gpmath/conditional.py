@@ -239,10 +239,13 @@ def ar_joint_posterior_fast(
     Lb_full = jnp.broadcast_to(L_full, (*batch, S, S))
     Li_full = jnp.broadcast_to(L_inv, (*batch, S, S))
 
-    # diagonal M-blocks of L^{-1}: (T, *batch, M, M)
-    Li_r = Li_full.reshape(*batch, T, M, T, M)
-    tt = jnp.arange(T)
-    Dinv = Li_r[..., tt, :, tt, :]  # advanced indexing -> (T, *batch, M, M)
+    # diagonal M-blocks of L^{-1}: (T, *batch, M, M).  Static slices +
+    # stack, NOT advanced indexing — the gather's AD transpose is a
+    # 120 MB scatter-add at the S=1000 chain (flops_audit attribution);
+    # slice cotangents are pads, which XLA fuses.
+    Dinv = jnp.stack(
+        [Li_full[..., t * M : (t + 1) * M, t * M : (t + 1) * M] for t in range(T)]
+    )
 
     w = mm_h(Dinv, ut)
     v = mm_h(Dinv, um)
