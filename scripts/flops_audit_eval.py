@@ -1,0 +1,57 @@
+"""Static FLOP/byte audit of the jitted EVAL pass (chain-reload analysis
+protocol budgets: n_f=50, n_var_samples=20) — companion to
+scripts/flops_audit.py, which audits the train block.
+
+The TxT accuracy-matrix analysis (mnist.ipynb cell 12 protocol,
+experiments/analysis.py) dispatches this eval program T*(T+1)/2 times per
+experiment, so structural waste here multiplies across the deliverable
+runs.  Usage: python scripts/flops_audit_eval.py [flagship|m1024]
+"""
+
+import sys, os; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import collections
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", "cpu")
+
+import __graft_entry__ as g
+from vargp_tpu.train.loop import TrainHyperparams, make_device_eval_fn
+from flops_audit import walk, HIGHEST_TFLOPS, HIGH_TFLOPS, HBM
+
+
+def main(mode="flagship"):
+    n_tasks, M = {"flagship": (5, 60), "m1024": (1, 1024)}[mode]
+    cfg, params, prev, prior, x, y, w, key = g._flagship(n_tasks=n_tasks, M=M)
+    hp = TrainHyperparams(lr=3e-3, beta=10.0, eval_n_f=50, eval_n_var_samples=20)
+    eval_acc = make_device_eval_fn(cfg, hp)
+    K = 4  # eval batches per dispatch (analysis runs ~4-20)
+    xs = jnp.broadcast_to(x, (K,) + x.shape)
+    ys = jnp.broadcast_to(y, (K,) + y.shape)
+    ws = jnp.broadcast_to(w, (K,) + w.shape)
+    cm = jnp.ones((len(prev),), jnp.float32)
+    closed = jax.make_jaxpr(lambda *a: eval_acc(*a))(
+        params, prev, cm, xs, ys, ws, key)
+
+    dots = collections.Counter()
+    moves = collections.Counter()
+    walk(closed.jaxpr, 1.0, dots, moves)
+    tot = {}
+    print(f"== eval {mode} (K={K} batches/dispatch): top dot_generals ==")
+    for ((ls, rs), p), fl in sorted(dots.items(), key=lambda kv: -kv[1]):
+        tot[p] = tot.get(p, 0.0) + fl
+    for ((ls, rs), p), fl in sorted(dots.items(), key=lambda kv: -kv[1])[:15]:
+        print(f"  {fl/1e9:9.2f} GFLOP  {p:8s} {ls} x {rs}")
+    gH = tot.get("HIGHEST", 0.0)
+    gh = tot.get("HIGH", 0.0) + tot.get("DEFAULT", 0.0)
+    mv = sum(moves.values())
+    print(f"\ntotals: HIGHEST {gH/1e9:.1f} GFLOP, HIGH+DEFAULT {gh/1e9:.1f}; "
+          f"movement {mv/1e6:.1f} MB")
+    print("movement by op:", {k: f"{v/1e6:.0f}MB" for k, v in moves.most_common(8)})
+    sol = gH / HIGHEST_TFLOPS + gh / HIGH_TFLOPS + mv / HBM
+    print(f"speed-of-light (matmul+movement only): {sol*1e3:.2f} ms per dispatch")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1] if len(sys.argv) > 1 else "flagship")
