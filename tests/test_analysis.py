@@ -91,6 +91,43 @@ def test_toy_density_grid_and_plot(tmp_path):
     assert os.path.exists(out)
 
 
+def test_analyze_toy_global_density(tmp_path):
+    """Global-SVGP toy density deliverable (toy_global.ipynb cells 3-5):
+    per-task grids from a grown-M checkpoint chain reload end to end."""
+    from vargp_tpu.models import global_svgp as G
+    from vargp_tpu.train import loop_global
+    from vargp_tpu.train.loop import TrainHyperparams
+
+    toy = data.make_toy_dataset(seed=0)
+    hp = TrainHyperparams(
+        epochs=20, lr=2e-2, batch_size=128, eval_interval=20, patience=-1
+    )
+    key = jax.random.key(0)
+    prev_params = None
+    for t in range(2):
+        cfg = G.GlobalSVGPConfig(
+            M=4 * (t + 1), out_size=4, in_size=2, n_f=4, n_var_samples=2
+        )
+        train_set = data.filter_by_class(toy, [2 * t, 2 * t + 1])
+        seen = data.filter_by_class(toy, range(2 * t + 2))
+        key, k_task = jax.random.split(key)
+        prev_params, _ = loop_global.train_task(
+            k_task, t, train_set, seen, seen, cfg, hp,
+            prev_state=prev_params, seed=t,
+        )
+        save_chain(str(tmp_path), t, prev_params)
+
+    summary = analysis.analyze_toy_global(
+        str(tmp_path), n_tasks=2, M=4, n=10, n_f=4, n_var_samples=2
+    )
+    assert len(summary["density_retention"]) == 2
+    assert all(0.0 <= r <= 1.0 for r in summary["density_retention"])
+    grid = np.load(os.path.join(str(tmp_path), "density_grid.npz"))
+    assert grid["probs"].shape == (2, 10, 10, 4)
+    np.testing.assert_allclose(grid["probs"].sum(-1), 1.0, rtol=1e-3)
+    assert os.path.exists(os.path.join(str(tmp_path), "toy_density.json"))
+
+
 @pytest.mark.slow
 def test_dkl_training_runs(tmp_path):
     """Deep-kernel path end to end (warm-started phi across tasks)."""

@@ -180,6 +180,90 @@ def analyze_toy(
     return summary
 
 
+def analyze_toy_global(
+    log_dir: str,
+    n_tasks: int = 2,
+    M: int = 20,
+    out_json: str | None = None,
+    n: int = 60,
+    n_f: int = 50,
+    n_var_samples: int = 20,
+    data_seed: int = 0,
+):
+    """Global-SVGP toy density deliverable (toy_global.ipynb cells 3-5):
+    per-class predictive surfaces over [-3, 3]^2 after each task for the
+    single-global-posterior baseline, plus the same task-0 density-
+    retention metric as analyze_toy — the quantitative side of the
+    paper's contrast (VAR-GP preserves task-0 density; the global
+    baseline forgets).
+
+    The global model's M grows as M*(t+1) (toy_global.py:34), so the
+    chain is loaded with per-task templates; predict needs only task t's
+    params (the single global posterior IS the model — models_global.py
+    predict :228 never touches prev)."""
+    from dataclasses import replace
+
+    from vargp_tpu.models import global_svgp as G
+    from vargp_tpu.utils.checkpoint import load_chain
+
+    key = jax.random.key(0)
+    cfgs, templates = [], []
+    for t in range(n_tasks):
+        cfg_t = G.GlobalSVGPConfig(M=M * (t + 1), out_size=4, in_size=2)
+        z0 = jnp.zeros((cfg_t.out_size, cfg_t.M, cfg_t.in_size))
+        example, _ = G.init_params(key, z0, cfg_t)
+        cfgs.append(cfg_t)
+        templates.append(example)
+    chain = load_chain(log_dir, n_tasks, templates)
+
+    xs = np.linspace(-3.0, 3.0, n, dtype=np.float32)
+    gx, gy = np.meshgrid(xs, xs)
+    pts = jnp.asarray(np.stack([gx.ravel(), gy.ravel()], axis=-1))
+
+    toy_all = data.make_toy_dataset(seed=data_seed)
+    task0 = data.filter_by_class(toy_all, [0, 1])
+    x0 = jnp.asarray(task0.data)
+
+    out, retention = [], []
+    for t, params in enumerate(chain):
+        cfg_eval = replace(cfgs[t], n_f=n_f, n_var_samples=n_var_samples)
+        key, k_grid, k_ret = jax.random.split(key, 3)
+        probs = np.asarray(
+            jax.jit(G.predict, static_argnames="cfg")(
+                params, None, pts, k_grid, cfg_eval
+            )
+        )
+        out.append(probs.reshape(n, n, -1))
+        p0 = np.asarray(G.predict(params, None, x0, k_ret, cfg_eval))
+        retention.append(
+            float(np.mean(p0[np.arange(len(task0)), task0.targets]))
+        )
+
+    probs = np.stack(out)
+    np.savez(
+        os.path.join(log_dir, "density_grid.npz"), gx=gx, gy=gy, probs=probs
+    )
+    summary = dict(
+        density_retention=retention,
+        task0_true_class_prob_final=retention[-1],
+        grid_n=n, n_f=n_f, n_var_samples=n_var_samples,
+    )
+    out_json = out_json or os.path.join(log_dir, "toy_density.json")
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=2)
+    try:
+        from vargp_tpu.experiments.plots import plot_toy_densities
+
+        plot_toy_densities(
+            gx, gy, probs, dataset=toy_all,
+            out_path=os.path.join(log_dir, "toy_density.png"),
+        )
+    except Exception:
+        pass
+    print(json.dumps(summary))
+    return summary
+
+
 def summarize(acc: np.ndarray, ent: np.ndarray) -> dict:
     """Final summary dict: per-task final accs, mean final acc, BWT."""
     return dict(
