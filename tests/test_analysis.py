@@ -214,3 +214,25 @@ def test_toy_density_retention_minted_artifact():
     np.testing.assert_allclose(
         grid["probs"].sum(-1), 1.0, atol=1e-3
     )  # valid per-point distributions
+
+
+def test_toy_global_forgetting_contrast_minted_artifacts():
+    """The paper's contrast as a numeric regression over BOTH committed
+    deliverables (toy.ipynb vs toy_global.ipynb protocols): the global
+    baseline must forget substantially more task-0 density than VAR-GP
+    (minted: -15.1% vs -1.6%)."""
+    import json as _json
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    p_var = os.path.join(repo, "results", "toy_full", "toy_density.json")
+    p_glo = os.path.join(repo, "results", "toy_global_full", "toy_density.json")
+    if not (os.path.exists(p_var) and os.path.exists(p_glo)):
+        pytest.skip("minted toy artifacts not present")
+    with open(p_var) as f:
+        var = _json.load(f)["density_retention"]
+    with open(p_glo) as f:
+        glo = _json.load(f)["density_retention"]
+    drop_var = 1.0 - var[1] / var[0]
+    drop_glo = 1.0 - glo[1] / glo[0]
+    assert drop_glo > 0.05  # the global baseline visibly forgets
+    assert drop_glo > 3.0 * drop_var  # and much more than VAR-GP
