@@ -255,7 +255,13 @@ def _make_sym_gram_tri_kernel(precision, R, n_panels):
     def _kernel(z_ref, inv_ref, g2_ref, out_ref):
         inv = inv_ref[0, 0]  # (D,)
         sz = z_ref[0] * inv  # (C, D)
+        # Keep the squared-norm vector 2-D before slicing: a 1-D
+        # slice-plus-newaxis (yy[r0:r1, None]) lowers to a gather, which
+        # Mosaic rejects ("Only 2D gather is supported"); plain 2-D
+        # slices lower to static slice ops.
         yy = jnp.sum(jnp.square(sz), axis=-1)  # (C,)
+        yy_col = yy[:, None]  # (C, 1): newaxis on the FULL array is fine
+        yy_row = yy[None, :]  # (1, C)
         g2 = g2_ref[pl.program_id(0), 0]
         for i in range(n_panels):
             r0, r1 = 128 * i, min(128 * (i + 1), R)
@@ -268,7 +274,7 @@ def _make_sym_gram_tri_kernel(precision, R, n_panels):
                 preferred_element_type=jnp.float32,
                 precision=precision,
             )
-            d2 = jnp.maximum(yy[r0:r1, None] - 2.0 * xy + yy[None, :c1], 0.0)
+            d2 = jnp.maximum(yy_col[r0:r1] - 2.0 * xy + yy_row[:, :c1], 0.0)
             k = g2 * jnp.exp(-0.5 * d2)  # (Pi, c1)
             out_ref[0, 0, r0:r1, :c1] = k
             for j in range(i):  # mirror finished off-diagonal tiles
@@ -388,7 +394,13 @@ def _sym_gram_impl(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
     from vargp_tpu.ops.dispatch import get_backend
 
     if get_backend() == "pallas":
-        if os.environ.get("VARGP_TPU_SYMGRAM") == "tri":
+        # Triangle-skip kernel: hardware A/B (scripts/bench_symgram.py,
+        # TPU v5e 2026-08-18) shows it 1.3-1.6x faster fwd+bwd at
+        # M >= 1000 but mixed-to-losing at the flagship M=300 / M=128
+        # shapes, so it is shape-gated.  VARGP_TPU_SYMGRAM=tri/whole
+        # overrides the gate either way.
+        mode = os.environ.get("VARGP_TPU_SYMGRAM")
+        if mode == "tri" or (mode != "whole" and z.shape[-2] >= 512):
             return _sym_gram_4d_tri(z, invs, gamma2, precision)
         return _sym_gram_4d(z, invs, gamma2, precision)
     sz = z[None] * invs[:, None, None, :]  # (H, O, M, D)
