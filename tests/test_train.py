@@ -84,3 +84,55 @@ def test_toy_two_task_continual_learning():
         batch_size=256,
     )
     assert acc0_after > 0.85, f"catastrophic forgetting: {acc0_after}"
+
+
+def test_device_block_filled_layout_bit_exact(monkeypatch):
+    """make_device_train_fn's filled-layout fast path (gather-free packed
+    triangle inside the scan, rowmajor<->filled permutation at the dispatch
+    boundary) must reproduce the rowmajor trajectory BIT-exactly: same
+    losses, same final params and optimizer moments."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_parallel import tiny_problem
+
+    from vargp_tpu.models import vargp as V
+    from vargp_tpu.train.loop import make_device_train_fn, make_optimizer
+
+    params, prev, prior, cfg, x, y, w = tiny_problem(n_prev=1, seed=3)
+    prev_padded, chain_mask = V.pad_chain(prev, cfg, t_max=3)
+    hp = TrainHyperparams(lr=1e-2)
+    key = jax.random.key(11)
+    B = x.shape[0]
+    data_x = jnp.concatenate([x, 0.5 * x])
+    data_y = jnp.concatenate([y, y])
+    data_w = jnp.concatenate([w, w])
+    n_train = jnp.asarray(float(2 * B))
+
+    results = {}
+    for layout in ("rowmajor", "filled"):
+        monkeypatch.setenv("VARGP_TPU_TRIL_LAYOUT", layout)
+        tx = make_optimizer(hp)
+        p = jax.tree_util.tree_map(jnp.copy, params)
+        o = tx.init(p)
+        run = make_device_train_fn(cfg, tx, beta=1.0, batch_size=B, n_epochs=3)
+        p, o, loss, _ = run(
+            p, o, prev_padded, prior, chain_mask, n_train,
+            data_x, data_y, data_w, key,
+        )
+        results[layout] = (p, o, float(loss))
+
+    assert results["rowmajor"][2] == results["filled"][2]
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results["rowmajor"][:2]),
+        jax.tree_util.tree_leaves(results["filled"][:2]),
+    ):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_tril_layout_env_validation(monkeypatch):
+    from vargp_tpu.train.loop import _train_tril_layout
+
+    monkeypatch.setenv("VARGP_TPU_TRIL_LAYOUT", "rowmajour")  # typo
+    with pytest.raises(ValueError, match="VARGP_TPU_TRIL_LAYOUT"):
+        _train_tril_layout()

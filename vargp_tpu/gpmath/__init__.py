@@ -15,6 +15,10 @@ from vargp_tpu.gpmath.tril import (
     mat2trilvec,
     tril_size,
     tril_dim,
+    filled_perm,
+    rowmajor_to_filled,
+    filled_to_rowmajor,
+    tril_from_filled,
 )
 from vargp_tpu.gpmath.linalg import (
     DEFAULT_JITTER,
@@ -48,6 +52,10 @@ __all__ = [
     "mat2trilvec",
     "tril_size",
     "tril_dim",
+    "filled_perm",
+    "rowmajor_to_filled",
+    "filled_to_rowmajor",
+    "tril_from_filled",
     "DEFAULT_JITTER",
     "add_jitter",
     "cholesky",

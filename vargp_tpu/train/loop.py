@@ -10,7 +10,7 @@ padded batches; params/opt_state donated; PRNG keys threaded host-side.
 """
 
 import time
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 from typing import Sequence
 
@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
+from vargp_tpu import gpmath
 from vargp_tpu.data.core import ArrayDataset, batch_iter
 from vargp_tpu.models import vargp as V
 from vargp_tpu.train.metrics import compute_accuracy
@@ -117,6 +118,32 @@ def stack_epoch(ds: ArrayDataset, batch_size: int, rng) -> tuple:
     )
 
 
+def _train_tril_layout() -> str:
+    """Packing layout used INSIDE scanned train blocks.  Default "filled"
+    (gather-free unpack, gpmath.tril_from_filled; bit-exact vs rowmajor —
+    tested).  VARGP_TPU_TRIL_LAYOUT=rowmajor reverts; unknown values raise
+    (a typo must not silently change the compiled program)."""
+    import os
+
+    v = os.environ.get("VARGP_TPU_TRIL_LAYOUT", "filled")
+    if v not in ("filled", "rowmajor"):
+        raise ValueError(
+            f"VARGP_TPU_TRIL_LAYOUT={v!r}: expected 'filled' or 'rowmajor'"
+        )
+    return v
+
+
+def _map_u_tril_leaves(tree, fn):
+    """Apply ``fn`` to every leaf whose pytree path ends in u_tril_vec —
+    the param itself and its mirrored optimizer moments."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(tree)
+    leaves = [
+        fn(leaf) if jax.tree_util.keystr(path).endswith("u_tril_vec") else leaf
+        for path, leaf in flat
+    ]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
 def make_device_train_fn(
     cfg: V.VARGPConfig,
     tx,
@@ -149,9 +176,25 @@ def make_device_train_fn(
             NamedSharding(mesh, P("data")),
         )
 
+    # Inside the scanned block the packed scale factor rides in the
+    # gather-free "filled" layout (gpmath.tril): the rowmajor<->filled
+    # permutations run ONCE per dispatch (amortized over
+    # n_epochs * steps_per_epoch optimizer steps) instead of the per-step
+    # unpack gather + pack scatter (14 ms/step at M=1024 on v5e).  The
+    # permutation is along the unsharded packed axis, so it is shard-local
+    # under the ("data","model") mesh.  Optimizer moments mirror the param
+    # pytree and permute identically; Yogi/Adam are elementwise, so the
+    # trajectory is bit-exact vs the rowmajor path (tested).
+    layout = _train_tril_layout()
+    cfg_in = replace(cfg, tril_layout=layout) if layout != cfg.tril_layout else cfg
+
     @partial(jax.jit, donate_argnums=(0, 1))
     def run(params, opt_state, prev, prior, chain_mask, n_train,
             data_x, data_y, data_w, key):
+        if layout == "filled":
+            to_filled = lambda v: gpmath.rowmajor_to_filled(v, cfg.M)
+            params = _map_u_tril_leaves(params, to_filled)
+            opt_state = _map_u_tril_leaves(opt_state, to_filled)
         n_pad = data_x.shape[0]
         steps_per_epoch = n_pad // batch_size
 
@@ -176,7 +219,7 @@ def make_device_train_fn(
             k = jax.random.fold_in(key, n_epochs + s)
             params, opt_state, loss_val, aux = elbo_step(
                 params, opt_state, prev, prior, x, y, w, k,
-                cfg=cfg, tx=tx, beta=beta, n_train=n_train,
+                cfg=cfg_in, tx=tx, beta=beta, n_train=n_train,
                 chain_mask=chain_mask,
             )
             return (params, opt_state), (loss_val, aux)
@@ -184,6 +227,10 @@ def make_device_train_fn(
         (params, opt_state), (losses, auxs) = jax.lax.scan(
             step, (params, opt_state), jnp.arange(n_epochs * steps_per_epoch)
         )
+        if layout == "filled":
+            to_rm = lambda v: gpmath.filled_to_rowmajor(v, cfg.M)
+            params = _map_u_tril_leaves(params, to_rm)
+            opt_state = _map_u_tril_leaves(opt_state, to_rm)
         return params, opt_state, losses[-1], jax.tree_util.tree_map(
             lambda a: a[-1], auxs
         )
