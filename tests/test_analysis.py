@@ -91,9 +91,16 @@ def test_toy_density_grid_and_plot(tmp_path):
     assert os.path.exists(out)
 
 
+@pytest.mark.slow
 def test_analyze_toy_global_density(tmp_path):
     """Global-SVGP toy density deliverable (toy_global.ipynb cells 3-5):
-    per-task grids from a grown-M checkpoint chain reload end to end."""
+    per-task grids from a grown-M checkpoint chain reload end to end.
+
+    Slow tier: ~36 s of per-task compiles (the global model grows M so
+    each task compiles its own block).  Fast-tier coverage of the global
+    path lives in test_global_retrain.py (toy training >90%, scanned-block
+    vs per-batch update match); the minted density artifact is pinned by
+    test_toy_global_forgetting_contrast_minted_artifacts."""
     from vargp_tpu.models import global_svgp as G
     from vargp_tpu.train import loop_global
     from vargp_tpu.train.loop import TrainHyperparams

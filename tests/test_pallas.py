@@ -131,10 +131,16 @@ class TestCholInv:
         np.testing.assert_allclose(sym(g_pal), sym(g_ref), rtol=2e-2, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_diag_chol_pallas_t_interpret():
     """v3 transposed-layout batched 128-block Cholesky vs lax reference
     (the production diagonal-block kernel: 0.048 ms vs XLA's 0.42 ms per
-    (30,128,128) on v5e)."""
+    (30,128,128) on v5e).
+
+    Slow tier: interpret-mode execution of the 128 unrolled rank-1 steps
+    is ~20 s on CPU; test_diag_chol_pad_path_exact (fast tier) runs the
+    SAME kernel in interpret mode and additionally checks the identity-pad
+    route, so kernel exactness stays covered by default."""
     from vargp_tpu.ops.pallas.chol_panel import diag_chol_pallas_t
 
     rng = np.random.default_rng(7)

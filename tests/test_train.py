@@ -86,11 +86,16 @@ def test_toy_two_task_continual_learning():
     assert acc0_after > 0.85, f"catastrophic forgetting: {acc0_after}"
 
 
+@pytest.mark.slow
 def test_device_block_filled_layout_bit_exact(monkeypatch):
     """make_device_train_fn's filled-layout fast path (gather-free packed
     triangle inside the scan, rowmajor<->filled permutation at the dispatch
     boundary) must reproduce the rowmajor trajectory BIT-exactly: same
-    losses, same final params and optimizer moments."""
+    losses, same final params and optimizer moments.
+
+    Slow tier: compiles the device block twice (~23 s).  The layout's
+    fwd/bwd bit-exactness and gather-freeness stay in the fast tier at the
+    unit level (test_gpmath.test_filled_layout_bit_exact_and_gather_free)."""
     import sys
 
     sys.path.insert(0, "tests")
