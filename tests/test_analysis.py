@@ -98,8 +98,9 @@ def test_analyze_toy_global_density(tmp_path):
 
     Slow tier: ~36 s of per-task compiles (the global model grows M so
     each task compiles its own block).  Fast-tier coverage of the global
-    path lives in test_global_retrain.py (toy training >90%, scanned-block
-    vs per-batch update match); the minted density artifact is pinned by
+    path lives in test_global_retrain.py (scanned-block vs per-batch
+    update match, inducing-point growth); the >90% toy-training check is
+    itself slow-tier; the minted density artifact is pinned by
     test_toy_global_forgetting_contrast_minted_artifacts."""
     from vargp_tpu.models import global_svgp as G
     from vargp_tpu.train import loop_global
