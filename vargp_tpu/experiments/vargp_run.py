@@ -25,28 +25,51 @@ def _log_dir(name: str) -> str:
     return os.path.join(base, name)
 
 
+def _make_mesh_arg(n_devices, model_parallel):
+    """CLI --n_devices/--model_parallel -> jax.sharding.Mesh (or None).
+
+    The TPU-native scale-out the reference never had (SURVEY §2.3): the
+    same continual experiment runs GSPMD-sharded over a ("data","model")
+    mesh — batch over "data", the per-class GP state over "model"."""
+    if not n_devices:
+        return None
+    from vargp_tpu import parallel
+
+    return parallel.make_mesh(int(n_devices), model_parallel)
+
+
 def _run_task_stream(
     name, tasks, cfg, hp, seed, log_dir=None, n_tasks_cap=None, ls_init=None,
-    resume=False, meta=None,
+    resume=False, meta=None, mesh=None,
 ):
     """Shared continual loop: per-task train, chain growth, ckpt save.
 
     ``resume=True`` reloads completed tasks' ckpt{t}.npz from log_dir and
     continues from the first missing task (failure recovery — the
-    checkpoint chain IS the model, so resumption is exact)."""
+    checkpoint chain IS the model, so resumption is exact).
+
+    ``mesh``: run every task's training/eval GSPMD-sharded (see
+    train_task).  Checkpoint/metrics writes are gated to process 0 so the
+    same driver works under multi-process jax.distributed."""
     key, seed = seed_everything(seed)
     log_dir = log_dir or _log_dir(name)
     chain = []
     summaries = []
     shared = {}
-    if meta:
+    is_lead = jax.process_index() == 0
+    if meta and mesh is not None:
+        meta = dict(
+            meta,
+            mesh=f"{mesh.devices.shape[0]} data x {mesh.devices.shape[1]} model",
+        )
+    if meta and is_lead:
         import json
 
         os.makedirs(log_dir, exist_ok=True)
         with open(os.path.join(log_dir, "run_meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
         print(f"[{name}] " + " ".join(f"{k}={v}" for k, v in meta.items()))
-    with MetricsLogger(log_dir) as logger:
+    with MetricsLogger(log_dir if is_lead else None) as logger:
         for t, (train_set, val_set, test_set) in enumerate(tasks):
             if n_tasks_cap is not None and t >= n_tasks_cap:
                 break
@@ -67,10 +90,11 @@ def _run_task_stream(
             params, info = train_task(
                 k_task, t, train_set, val_set, test_set, cfg, hp,
                 prev_chain=chain, logger=logger, seed=seed + t,
-                ls_init=ls_init, shared=shared,
+                ls_init=ls_init, shared=shared, mesh=mesh,
             )
             chain.append(params)
-            save_chain(log_dir, t, params)
+            if is_lead:
+                save_chain(log_dir, t, params)
             summaries.append(info.get("acc_summary", {}))
             print(
                 f"[{name}] task {t}: "
@@ -84,7 +108,7 @@ def toy(
     epochs=5000, M=20, lr=1e-2, batch_size=512, beta=1.0,
     n_f=10, n_var_samples=3, ep_var_mean=True, map_est_hypers=False,
     dkl=False, seed=None, eval_interval=10, log_dir=None, n_tasks=2,
-    ls_init=None, resume=False,
+    ls_init=None, resume=False, n_devices=None, model_parallel=None,
 ):
     """Parity: experiments/vargp.py:76-104 (patience disabled)."""
     toy_all = data.make_toy_dataset(seed=seed or 0)
@@ -109,14 +133,18 @@ def toy(
         pad_tasks_to=n_tasks, pad_data_rows=max(batch_size, task_rows),
         pad_eval_batches=-(-len(toy_all) // batch_size),
     )
-    return _run_task_stream("toy", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init, resume=resume)
+    return _run_task_stream(
+        "toy", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init, resume=resume,
+        mesh=_make_mesh_arg(n_devices, model_parallel),
+    )
 
 
 def split_mnist(
     data_dir=None, epochs=500, M=60, lr=3e-3, batch_size=512, beta=10.0,
     n_f=10, n_var_samples=3, ep_var_mean=True, map_est_hypers=False,
     dkl=False, seed=None, eval_interval=10, patience=20, log_dir=None,
-    n_tasks=5, ls_init=None, resume=False,
+    n_tasks=5, ls_init=None, resume=False, n_devices=None,
+    model_parallel=None,
 ):
     """Parity: experiments/vargp.py:107-140."""
     rng = np.random.default_rng(seed or 0)
@@ -153,6 +181,7 @@ def split_mnist(
     return _run_task_stream(
         "s_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init,
         resume=resume, meta={"data_source": data.mnist_source(data_dir)},
+        mesh=_make_mesh_arg(n_devices, model_parallel),
     )
 
 
@@ -161,6 +190,7 @@ def split_digits(
     n_f=10, n_var_samples=3, ep_var_mean=True, map_est_hypers=False,
     dkl=False, seed=None, eval_interval=10, patience=20, log_dir=None,
     n_tasks=5, ls_init=None, resume=False, eval_resample_per_batch=False,
+    n_devices=None, model_parallel=None,
 ):
     """Split-Digits: the Split-MNIST protocol (experiments/vargp.py:107-141)
     on sklearn's REAL 8x8 handwritten digits — runnable on zero-egress
@@ -203,6 +233,7 @@ def split_digits(
     return _run_task_stream(
         "s_digits", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init,
         resume=resume, meta={"data_source": "sklearn-digits (real)"},
+        mesh=_make_mesh_arg(n_devices, model_parallel),
     )
 
 
@@ -211,7 +242,7 @@ def permuted_mnist(
     batch_size=512, beta=1.64, n_f=10, n_var_samples=3, ep_var_mean=True,
     map_est_hypers=False, dkl=False, seed=None, eval_interval=10,
     patience=20, log_dir=None, ls_init=None, resume=False,
-    padded_chain=False,
+    padded_chain=False, n_devices=None, model_parallel=None,
 ):
     """Parity: experiments/vargp.py:143-186 — task 0 unpermuted; val/test
     accumulate all task variants seen so far (ConcatDataset protocol).
@@ -255,6 +286,7 @@ def permuted_mnist(
     return _run_task_stream(
         "p_mnist", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init,
         resume=resume, meta={"data_source": data.mnist_source(data_dir)},
+        mesh=_make_mesh_arg(n_devices, model_parallel),
     )
 
 

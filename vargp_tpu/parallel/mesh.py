@@ -24,6 +24,13 @@ def make_mesh(
     """
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
+    if len(devices) < n:
+        raise ValueError(
+            f"requested n_devices={n} but only {len(devices)} JAX device(s) "
+            f"are visible ({[str(d) for d in devices]}); on a single-chip "
+            "host use XLA_FLAGS=--xla_force_host_platform_device_count=N "
+            "with the cpu platform to emulate a mesh"
+        )
     devices = devices[:n]
     if model_parallel is None:
         model_parallel = 2 if n % 2 == 0 and n > 1 else 1

@@ -370,6 +370,7 @@ def train_task(
     seed: int | None = None,
     ls_init=None,
     shared: dict | None = None,
+    mesh=None,
 ):
     """Train one task; returns (best_params, info dict).
 
@@ -381,7 +382,28 @@ def train_task(
     carries jitted programs across tasks: padded-chain compilation makes
     every task's programs shape-identical, so the whole continual run
     compiles once.
+
+    ``mesh`` (a ("data","model") jax.sharding.Mesh, parallel.make_mesh)
+    runs the SAME compiled programs GSPMD-sharded: params/moments and the
+    frozen chain shard their class axis over "model", minibatches shard
+    over "data", everything else replicates.  The update math is identical
+    (same elbo_step, same keys/permutations) — only placement changes.
     """
+    if mesh is not None:
+        from vargp_tpu import parallel as _par
+
+        if not hp.scan_epoch:
+            raise ValueError("mesh training requires hp.scan_epoch=True")
+
+        def _shard(tree):
+            return _par.shard_params(tree, mesh, cfg.out_size)
+
+        def _repl(tree):
+            return _par.replicate(tree, mesh)
+
+    else:
+        _shard = _repl = lambda tree: tree
+
     k_init, k_run = jax.random.split(key)
 
     prev = tuple(V.freeze_task(p) for p in prev_chain)
@@ -389,6 +411,8 @@ def train_task(
         prev, chain_mask = V.pad_chain(prev, cfg, hp.pad_tasks_to)
     else:
         chain_mask = jnp.ones((len(prev),), jnp.float32)
+    prev = _shard(prev)
+    chain_mask = _repl(chain_mask)
     shared = shared if shared is not None else {}
     kernel_prior_from = prev_chain[-1].kernel if prev_chain else None
     phi_init = prev_chain[-1].phi if (prev_chain and cfg.dkl) else None
@@ -405,15 +429,19 @@ def train_task(
         k_init, z_init, cfg, kernel_prior_from=kernel_prior_from,
         phi_init=phi_init, log_lengthscale_init=log_ls,
     )
+    params = _shard(params)
+    prior = _repl(prior)
 
     tx = shared.setdefault("tx", make_optimizer(hp))
-    opt_state = tx.init(params)
-    n_train = jnp.asarray(float(len(train_set)))
+    opt_state = _shard(tx.init(params))
+    n_train = _repl(jnp.asarray(float(len(train_set))))
     if hp.scan_epoch:
         # dataset lives on device; shuffle/batch/update all inside one
         # compiled block of eval_interval epochs
-        data_x, data_y, data_w = pad_dataset_to_device(
-            train_set, hp.batch_size, n_rows=hp.pad_data_rows
+        data_x, data_y, data_w = _repl(
+            pad_dataset_to_device(
+                train_set, hp.batch_size, n_rows=hp.pad_data_rows
+            )
         )
         steps_per_epoch = data_x.shape[0] // hp.batch_size
         _block_fns = shared.setdefault("block_fns", {})
@@ -421,7 +449,7 @@ def train_task(
         def run_block(n_epochs, *args):
             if n_epochs not in _block_fns:
                 _block_fns[n_epochs] = make_device_train_fn(
-                    cfg, tx, hp.beta, hp.batch_size, n_epochs
+                    cfg, tx, hp.beta, hp.batch_size, n_epochs, mesh=mesh
                 )
             return _block_fns[n_epochs](*args)
 
@@ -430,26 +458,26 @@ def train_task(
     predict = make_predict_fn(cfg, hp)
     if hp.scan_epoch:
         if "eval_acc" not in shared:
-            shared["eval_acc"] = make_device_eval_fn(cfg, hp)
+            shared["eval_acc"] = make_device_eval_fn(cfg, hp, mesh=mesh)
         eval_acc = shared["eval_acc"]
         eval_stacks = {
             "train": (
-                stack_eval_set(train_set, hp.batch_size, _eval_batches(hp, train_set)),
+                _repl(stack_eval_set(train_set, hp.batch_size, _eval_batches(hp, train_set))),
                 len(train_set),
             ),
             "val": (
-                stack_eval_set(val_set, hp.batch_size, _eval_batches(hp, val_set)),
+                _repl(stack_eval_set(val_set, hp.batch_size, _eval_batches(hp, val_set))),
                 len(val_set),
             ),
             "test": (
-                stack_eval_set(test_set, hp.batch_size, _eval_batches(hp, test_set)),
+                _repl(stack_eval_set(test_set, hp.batch_size, _eval_batches(hp, test_set))),
                 len(test_set),
             ),
         }
 
         def _acc(split, k):
             (xs, ys, ws), n = eval_stacks[split]
-            correct, _ = eval_acc(params, prev, chain_mask, xs, ys, ws, k)
+            correct, _ = eval_acc(params, prev, chain_mask, xs, ys, ws, _repl(k))
             correct = float(correct)
             assert np.isfinite(correct), "Found NaNs"
             return correct / n
@@ -473,7 +501,7 @@ def train_task(
             key_seq, k_blk = jax.random.split(key_seq)
             params, opt_state, loss_val, aux = run_block(
                 block, params, opt_state, prev, prior, chain_mask, n_train,
-                data_x, data_y, data_w, k_blk,
+                data_x, data_y, data_w, _repl(k_blk),
             )
             steps += block * steps_per_epoch
             epoch += block

@@ -15,9 +15,14 @@ import time
 
 class MetricsLogger:
     def __init__(
-        self, log_dir: str, tensorboard: bool = True, wandb: bool | None = None
+        self, log_dir: str | None, tensorboard: bool = True, wandb: bool | None = None
     ):
+        """``log_dir=None`` -> no-op logger (non-lead processes under
+        multi-process meshes log nothing; only process 0 writes)."""
         self.log_dir = log_dir
+        if log_dir is None:
+            self._f = self._tb = self._wandb = None
+            return
         os.makedirs(log_dir, exist_ok=True)
         self._f = open(os.path.join(log_dir, "metrics.jsonl"), "a")
         self._tb = None
@@ -45,6 +50,8 @@ class MetricsLogger:
                 self._wandb = None
 
     def add_scalar(self, tag: str, value: float, step: int = 0) -> None:
+        if self._f is None:
+            return
         rec = dict(tag=tag, value=float(value), step=int(step), time=time.time())
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
@@ -54,7 +61,8 @@ class MetricsLogger:
             self._wandb.log({tag: float(value)}, step=int(step))
 
     def close(self) -> None:
-        self._f.close()
+        if self._f is not None:
+            self._f.close()
         if self._tb is not None:
             self._tb.close()
         if self._wandb is not None:
