@@ -394,6 +394,102 @@ def test_ar_joint_posterior_fast_single_block_is_exact_identity():
     np.testing.assert_array_equal(np.asarray(fast.LS), u_tril)
 
 
+def test_ar_joint_posterior_factored_matches_fast():
+    """Whitened factored form: mean identical path, and the materialized
+    scale factor L @ blockdiag(w) must equal the fast path's LS.  The
+    factored marginal must match the materialized whitened marginal."""
+    rng = np.random.default_rng(17)
+    M, T, B = 4, 3, 7
+    S = M * T
+    Z = rng.standard_normal((S, 2)).astype(np.float32)
+    sq = ((Z[:, None] - Z[None, :]) ** 2).sum(-1)
+    K = np.exp(-0.5 * sq).astype(np.float32) + 0.1 * np.eye(S, dtype=np.float32)
+    u_means = [rng.standard_normal((M, 1)).astype(np.float32) for _ in range(T)]
+    u_trils = [
+        np.linalg.cholesky(rand_spd(rng, n=M)).astype(np.float32)
+        for _ in range(T)
+    ]
+    L = gpmath.cholesky(jnp.asarray(K))
+    Li = gpmath.tri_inv(L)
+    ums = [jnp.asarray(u) for u in u_means]
+    uts = [jnp.asarray(t) for t in u_trils]
+
+    fast = gpmath.ar_joint_posterior_fast(L, Li, ums, uts)
+    fac = gpmath.ar_joint_posterior_factored(L, Li, ums, uts)
+
+    assert fac.w.shape == (T, M, M)
+    np.testing.assert_allclose(
+        np.asarray(fac.mean), np.asarray(fast.mean), rtol=1e-4, atol=1e-5
+    )
+    # L @ blockdiag(w) == LS (the representation identity)
+    bd = np.zeros((S, S), np.float32)
+    for t in range(T):
+        bd[t * M : (t + 1) * M, t * M : (t + 1) * M] = np.asarray(fac.w)[t]
+    np.testing.assert_allclose(
+        np.asarray(L) @ bd, np.asarray(fast.LS), rtol=1e-3, atol=1e-4
+    )
+
+    # factored marginal == materialized whitened marginal
+    Kzx = jnp.asarray(rng.standard_normal((S, B)).astype(np.float32))
+    kxx = jnp.asarray(np.abs(rng.standard_normal(B)).astype(np.float32) + 1.0)
+    mu1, var1 = gpmath.whitened_marginal_diag(
+        L, fast.mean, fast.LS, Kzx, kxx, L_inv=Li
+    )
+    mu2, var2 = gpmath.whitened_marginal_diag_factored(
+        Li, fac.mean, fac.w, Kzx, kxx
+    )
+    np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(var1), np.asarray(var2), rtol=1e-2, atol=1e-4)
+
+
+def test_ar_joint_posterior_factored_batched_grads():
+    """Batched (hyper, class) leading dims + gradient flow through the
+    factored construction and marginal (the train-step contract)."""
+    rng = np.random.default_rng(19)
+    H, O, M, T, B = 2, 3, 4, 2, 5
+    S = M * T
+    A = rng.standard_normal((H, O, S, S)).astype(np.float32)
+    K = A @ np.swapaxes(A, -1, -2) + S * np.eye(S, dtype=np.float32)
+    u_means = [rng.standard_normal((O, M, 1)).astype(np.float32) for _ in range(T)]
+    u_trils = [
+        np.stack([np.linalg.cholesky(rand_spd(rng, n=M)) for _ in range(O)])
+        .astype(np.float32)
+        for _ in range(T)
+    ]
+    Kzx = jnp.asarray(rng.standard_normal((H, O, S, B)).astype(np.float32))
+    kxx = jnp.asarray(np.ones((H, 1, 1), np.float32))
+
+    def f(K, ums, uts):
+        L = gpmath.cholesky(K)
+        Li = gpmath.tri_inv(L)
+        fac = gpmath.ar_joint_posterior_factored(L, Li, ums, uts)
+        mu, var = gpmath.whitened_marginal_diag_factored(
+            Li, fac.mean, fac.w, Kzx, kxx
+        )
+        return jnp.sum(mu) + jnp.sum(var)
+
+    ums = [jnp.asarray(u) for u in u_means]
+    uts = [jnp.asarray(t) for t in u_trils]
+    val, grads = jax.value_and_grad(f, argnums=(0, 1, 2))(jnp.asarray(K), ums, uts)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
+
+    # cross-check against the materialized form end to end
+    def g(K, ums, uts):
+        L = gpmath.cholesky(K)
+        Li = gpmath.tri_inv(L)
+        fast = gpmath.ar_joint_posterior_fast(L, Li, ums, uts)
+        mu, var = gpmath.whitened_marginal_diag(
+            L, fast.mean, fast.LS, Kzx, kxx, L_inv=Li
+        )
+        return jnp.sum(mu) + jnp.sum(var)
+
+    np.testing.assert_allclose(
+        float(val), float(g(jnp.asarray(K), ums, uts)), rtol=1e-3
+    )
+
+
 @pytest.mark.slow
 def test_chol_and_inv_blocked_matches_monolithic():
     rng = np.random.default_rng(11)

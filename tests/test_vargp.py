@@ -268,6 +268,67 @@ def test_loss_and_grads_are_finite():
     assert all(float(jnp.abs(g).sum()) > 0 for g in flat)
 
 
+@pytest.mark.parametrize("ep_var_mean", [True, False])
+def test_factored_ar_form_matches_materialized(monkeypatch, ep_var_mean):
+    """Model-level A/B of VARGP_TPU_AR_FORM: the whitened factored
+    posterior (production default for equal-block chains >= 768 rows;
+    gate lowered here to exercise it on tiny shapes) must reproduce the
+    materialized form's ELBO pieces, marginal and gradients.  Same keys →
+    same eps draws; only matmul associativity differs (L^{-1} L round
+    trips removed), so agreement is f32-tight."""
+    from dataclasses import replace
+
+    rng = np.random.default_rng(21)
+    D, out, Mb, B = 2, 4, 6, 8
+    setup = make_setup(seed=21, D=D, out=out, M0=Mb, M1=Mb, B=B)
+    params, prev, cfg = build_jax(setup, Mb, Mb, out, D)
+    # three-task equal-block chain: prev x2 + current
+    prev = prev + [
+        M.TaskPosterior(
+            z=jnp.asarray(rng.standard_normal((out, Mb, D)).astype(np.float32)),
+            u_mean=jnp.asarray(
+                rng.standard_normal((out, Mb, 1)).astype(np.float32) * 0.5
+            ),
+            u_tril=gpmath.vec2tril(
+                jnp.asarray(
+                    rng.standard_normal((out, (Mb * (Mb + 1)) // 2)).astype(
+                        np.float32
+                    )
+                    * 0.3
+                )
+            ),
+        )
+    ]
+    cfg = replace(cfg, map_est_hypers=False, ep_var_mean=ep_var_mean)
+    prior = default_prior(D)
+    x, y = jnp.asarray(setup["x"]), jnp.asarray(setup["y"])
+    monkeypatch.setattr(M, "_FAST_CHAIN_MIN_ROWS", 1)
+
+    def pieces(p):
+        klh, klu, nll = M.loss(p, prev, prior, x, y, jax.random.key(3), cfg)
+        return klh + klu + nll, (klh, klu, nll)
+
+    out_forms = {}
+    for form in ("materialized", "factored"):
+        monkeypatch.setenv("VARGP_TPU_AR_FORM", form)
+        (total, aux), grads = jax.value_and_grad(pieces, has_aux=True)(params)
+        probs = M.predict(params, prev, x, jax.random.key(5), cfg)
+        out_forms[form] = (total, aux, grads, probs)
+
+    t1, a1, g1, p1 = out_forms["materialized"]
+    t2, a2, g2, p2 = out_forms["factored"]
+    np.testing.assert_allclose(float(t1), float(t2), rtol=1e-4)
+    for u, v in zip(a1, a2):
+        np.testing.assert_allclose(float(u), float(v), rtol=1e-3, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), rtol=1e-3, atol=1e-5)
+    # grads: the MC-amplified z cotangents tolerate ~1e-2 relative (one
+    # L^{-1} L round trip removed re-associates the sampled-KL maha term)
+    for u, v in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(
+            np.asarray(u), np.asarray(v), rtol=1.5e-2, atol=1e-4
+        )
+
+
 def test_predict_probabilities():
     setup = make_setup()
     params, prev, cfg = build_jax(setup, 5, 6, 4, 2)

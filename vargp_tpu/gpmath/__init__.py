@@ -43,7 +43,9 @@ from vargp_tpu.gpmath.conditional import (
     linear_marginal_diag,
     ar_joint_posterior,
     ar_joint_posterior_fast,
+    ar_joint_posterior_factored,
     whitened_marginal_diag,
+    whitened_marginal_diag_factored,
 )
 
 __all__ = [
@@ -71,5 +73,7 @@ __all__ = [
     "linear_marginal_diag",
     "ar_joint_posterior",
     "ar_joint_posterior_fast",
+    "ar_joint_posterior_factored",
     "whitened_marginal_diag",
+    "whitened_marginal_diag_factored",
 ]

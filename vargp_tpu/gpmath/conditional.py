@@ -260,6 +260,97 @@ def ar_joint_posterior_fast(
     return ARPosterior(mean=mean, LS=LS)
 
 
+class ARFactored(NamedTuple):
+    """AR joint posterior q(u_{<=t}|theta) in WHITENED factored form.
+
+    The closed-form block-LDL identity (see ``ar_joint_posterior_fast``)
+    gives LS = L . blockdiag(w_t) with w_t = inv(L_tt) u_tril_t — so the
+    whitened scale factor L^{-1} LS that every downstream consumer
+    actually needs is EXACTLY blockdiag(w).  This form never materializes
+    the (sum M)^2 LS: it skips the L @ blockdiag(w) assembly (plus its two
+    (T, ..., S, M) <-> (..., S, S) relayout transposes — 2 x 120 MB/step at
+    the S=1000 chain) AND the marginal's L^{-1} @ LS un-whitening matmuls,
+    which multiplied by L only to immediately multiply by its inverse.
+
+    mean: ... x S x 1;  w: ... x T x M x M (block axis BEFORE the matrix
+    axes so every consumer is a clean batched matmul, no transposes).
+    """
+
+    mean: jax.Array
+    w: jax.Array
+
+
+def ar_joint_posterior_factored(
+    L_full: jax.Array,
+    L_inv: jax.Array,
+    u_means: Sequence[jax.Array],
+    u_trils: Sequence[jax.Array],
+) -> ARFactored:
+    """Whitened-factored AR joint posterior (equal task blocks, T >= 2).
+
+    Same math as ``ar_joint_posterior_fast`` (tested against it): only the
+    representation differs — blockdiag(w) is returned instead of L @
+    blockdiag(w).  Callers consume w via
+    ``whitened_marginal_diag_factored`` and the factored prefix-sampling
+    path in models.vargp.forward.
+    """
+    sizes = [u.shape[-2] for u in u_means]
+    M = sizes[0]
+    T = len(sizes)
+    S = sum(sizes)
+    assert T >= 2 and all(m == M for m in sizes), sizes
+    batch = jnp.broadcast_shapes(
+        L_full.shape[:-2], *[u.shape[:-2] for u in u_means]
+    )
+
+    # per-task stacks with the block axis inserted at -3 (batch position):
+    # (O, M, .) entries -> (O, T, M, .), broadcast over hypers by the dots
+    um = jnp.stack(u_means, axis=-3)
+    ut = jnp.stack(u_trils, axis=-3)
+    # diagonal M-blocks of L^{-1}: static slices + stack (slice cotangents
+    # are pads — no scatter in the backward; same trick as the fast path)
+    Dinv = jnp.stack(
+        [L_inv[..., t * M : (t + 1) * M, t * M : (t + 1) * M] for t in range(T)],
+        axis=-3,
+    )
+    w = mm_h(Dinv, ut)  # (..., T, M, M)
+    v = mm_h(Dinv, um)  # (..., T, M, 1)
+
+    # mean = G b = L . stack_t(inv(L_tt) b_t): ONE matmul, no relayout —
+    # the (..., T, M, 1) -> (..., S, 1) reshape is a free axis merge.
+    v_full = jnp.broadcast_to(v, (*batch, T, M, 1)).reshape(*batch, S, 1)
+    mean = mm(L_full, v_full)
+    return ARFactored(mean=mean, w=jnp.broadcast_to(w, (*batch, T, M, M)))
+
+
+def whitened_marginal_diag_factored(
+    L_inv: jax.Array,
+    mean: jax.Array,
+    w: jax.Array,
+    Kzx: jax.Array,
+    Kxx_diag: jax.Array,
+):
+    """Diagonal predictive marginal from the whitened-factored posterior.
+
+    Identical math to ``whitened_marginal_diag`` with LS = L blockdiag(w):
+    there C = (L^{-1} LS)^T (L^{-1} Kzx) — and L^{-1} LS == blockdiag(w)
+    exactly, so the dense (S, S) C-product collapses to T batched
+    (M, M)^T @ (M, B) blocks (1/T of the FLOPs, zero relayout).
+    """
+    T, M = w.shape[-3], w.shape[-1]
+    Lm = mm_h(L_inv, mean)
+    W = mm_h(L_inv, Kzx)  # (..., S, B)
+    f_mean = jnp.einsum("...mi,...mb->...b", Lm, W, precision=_HIGHEST)
+    diag1 = jnp.sum(jnp.square(W), axis=-2)
+    # (..., S, B) -> (..., T, M, B): free contiguous split of the row axis
+    W4 = W.reshape(*W.shape[:-2], T, M, W.shape[-1])
+    C = mtm_h(w, W4)  # (..., T, M, B)
+    diag2 = jnp.sum(jnp.square(C), axis=(-3, -2))
+    # clamp rationale: see whitened_marginal_diag
+    f_var = jnp.maximum(Kxx_diag - diag1 + diag2, 0.0)
+    return f_mean, f_var
+
+
 def whitened_marginal_diag(
     L: jax.Array,
     mean: jax.Array,

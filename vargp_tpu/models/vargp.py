@@ -94,6 +94,29 @@ class ForwardResult(NamedTuple):
     kl_u: jax.Array  # scalar
 
 
+# chain size (total inducing rows) above which the closed-form block-LDL
+# AR-posterior construction beats the unrolled fold (measured on v5e);
+# module-level so tests can exercise the large-chain paths on tiny shapes
+_FAST_CHAIN_MIN_ROWS = 768
+
+
+def _ar_form() -> str:
+    """AR-posterior representation for large equal-block chains (S >= 768,
+    T >= 2): "factored" (default — whitened blockdiag(w) form, skips the
+    LS materialization + un-whitening; same math, ~5x less posterior-
+    assembly data movement at S=1000) or "materialized" (the explicit
+    L @ blockdiag(w) scale factor).  Unknown values raise — a typo must
+    not silently change the compiled program."""
+    import os
+
+    v = os.environ.get("VARGP_TPU_AR_FORM", "factored")
+    if v not in ("factored", "materialized"):
+        raise ValueError(
+            f"VARGP_TPU_AR_FORM={v!r}: expected 'factored' or 'materialized'"
+        )
+    return v
+
+
 def _gram_fn(params: VARGPParams, cfg: VARGPConfig):
     if cfg.dkl:
         return lambda theta, x, y=None, precision="highest": deep_gram(
@@ -166,15 +189,22 @@ class ChainPosterior(NamedTuple):
     the full-chain Gram factorization, and the AR joint posterior
     q(u_{<=t}|theta).  Building this is the (sum M)^3 part of the forward;
     everything per-batch (cross-Gram + whitened marginal) is O(M^2 B).
-    Eval loops build it ONCE per dataset and reuse it across batches."""
+    Eval loops build it ONCE per dataset and reuse it across batches.
+
+    Exactly one of (LS, w_blocks) is set: LS is the materialized
+    (H, O, SM, SM) joint scale factor; w_blocks is the whitened factored
+    form (H, O, T, M, M) with LS == L @ blockdiag(w_blocks) (see
+    gpmath.ar_joint_posterior_factored — large equal-block chains skip the
+    L @ ... @ L^{-1} round trip and its 120 MB relayouts)."""
 
     theta: jax.Array  # (H, Dth+1)
     L: jax.Array  # (H, O, SM, SM)
     L_inv: jax.Array | None
     mean: jax.Array  # (H, O, SM, 1) joint posterior mean
-    LS: jax.Array  # (H, O, SM, SM) joint posterior scale factor
+    LS: jax.Array | None  # (H, O, SM, SM) joint posterior scale factor
     z_all: jax.Array  # (O, SM, D)
     u_tril_t: jax.Array  # (O, M, M) current task's unpacked scale factor
+    w_blocks: jax.Array | None = None  # (H, O, T, M, M) whitened factors
 
 
 def build_posterior(
@@ -212,7 +242,23 @@ def build_posterior(
         L = gpmath.cholesky(Kzz, cfg.jitter)
         L_inv = None
 
-    if L_inv is not None and z_all.shape[-2] >= 768:
+    M0 = u_means[0].shape[-2]
+    equal_blocks = all(u.shape[-2] == M0 for u in u_means)
+    if (
+        L_inv is not None
+        and z_all.shape[-2] >= _FAST_CHAIN_MIN_ROWS
+        and len(u_means) >= 2
+        and equal_blocks
+        and _ar_form() == "factored"
+    ):
+        # whitened factored form: blockdiag(w) IS L^{-1} LS — never
+        # materialize the (sum M)^2 LS or un-whiten it downstream
+        fpost = gpmath.ar_joint_posterior_factored(L, L_inv, u_means, u_trils)
+        return ChainPosterior(
+            theta=theta, L=L, L_inv=L_inv, mean=fpost.mean, LS=None,
+            z_all=z_all, u_tril_t=u_tril_t, w_blocks=fpost.w,
+        )
+    if L_inv is not None and z_all.shape[-2] >= _FAST_CHAIN_MIN_ROWS:
         # closed-form block-LDL construction (batched matmuls, no task
         # fold) — wins at large chain sizes; the unrolled fold's smaller
         # sequential joins win below ~768 total inducing rows (measured)
@@ -249,6 +295,10 @@ def marginal_diag(
     if chain_mask is not None:
         Kzx = Kzx * _row_mask(chain_mask, cfg.M)[:, None]
     kxx_diag = gram_diag(cp.theta)  # (H, 1, 1)
+    if cp.w_blocks is not None:
+        return gpmath.whitened_marginal_diag_factored(
+            cp.L_inv, cp.mean, cp.w_blocks, Kzx, kxx_diag
+        )
     return gpmath.whitened_marginal_diag(
         cp.L, cp.mean, cp.LS, Kzx, kxx_diag, L_inv=cp.L_inv
     )
@@ -294,14 +344,32 @@ def forward(
         # u_{<t} ~ q(u_{<t}|theta): prefix of the joint posterior, n_v draws
         # (parity: vargp.py:137-138)
         mu_lt = post.mean[..., :c, 0]
-        LS_lt = post.LS[..., :c, :c]
-        u_lt = gpmath.mvn_sample(k_u, mu_lt, LS_lt, sample_shape=(cfg.n_var_samples,))
-
-        # conditional prior mean K_{t,<t} K_{<t}^{-1} u_{<t} = L21 L11^{-1} u
-        if L_inv is not None:
-            w = gpmath.mm(L_inv[..., :c, :c], u_lt[..., None])
+        if cp.w_blocks is not None:
+            # factored form: the conditional prior mean is
+            # L21 L11^{-1} u_lt with u_lt = mu_lt + L11 blockdiag(w) eps,
+            # so L11^{-1} u_lt = L11^{-1} mu_lt + blockdiag(w) eps EXACTLY
+            # — sample in whitened space and skip both the L11 @ (sample)
+            # and the L11^{-1} @ (un-sample) matmuls.  Prefix property:
+            # the first t-1 blocks of w ARE the prefix posterior's factors.
+            n_prev = c // cfg.M
+            eps = jax.random.normal(
+                k_u, (cfg.n_var_samples, *mu_lt.shape), dtype=mu_lt.dtype
+            )
+            e4 = eps.reshape(*eps.shape[:-1], n_prev, cfg.M, 1)
+            s = gpmath.mm(cp.w_blocks[..., :n_prev, :, :], e4)
+            s = s.reshape(*eps.shape[:-1], c, 1)
+            w = gpmath.mm(L_inv[..., :c, :c], post.mean[..., :c, :]) + s
         else:
-            w = gpmath.tri_solve(L11, u_lt[..., None])
+            LS_lt = post.LS[..., :c, :c]
+            u_lt = gpmath.mvn_sample(
+                k_u, mu_lt, LS_lt, sample_shape=(cfg.n_var_samples,)
+            )
+
+            # conditional prior mean K_{t,<t} K_{<t}^{-1} u = L21 L11^{-1} u
+            if L_inv is not None:
+                w = gpmath.mm(L_inv[..., :c, :c], u_lt[..., None])
+            else:
+                w = gpmath.tri_solve(L11, u_lt[..., None])
         prior_mu_t = gpmath.mm(L21, w)[..., 0]
 
         # EP-style variational mean (vargp.py:151)
