@@ -84,6 +84,31 @@ def test_rbf_gram_pallas_custom_vjp_matches_xla_grad():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
 
 
+def test_cross_gram_pallas_matches_xla():
+    """Fused cross-Gram kernel (native (H, O, M, B) layout, in-VMEM
+    x-scaling) == the XLA einsum math, including row/col/feature padding
+    (M, B, D all off-alignment)."""
+    from vargp_tpu.ops.pallas.rbf_gram import _cross_gram_4d, _cross_gram_impl
+
+    rng = np.random.default_rng(5)
+    H, O, M, B, D = 3, 2, 21, 19, 5
+    z = jnp.asarray(rng.standard_normal((O, M, D)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+    invs2 = jnp.asarray(
+        np.abs(rng.standard_normal((H, D))).astype(np.float32) + 0.2
+    )
+    g2 = jnp.asarray(np.abs(rng.standard_normal(H)).astype(np.float32) + 0.5)
+
+    # CPU backend -> _cross_gram_impl takes the XLA branch
+    expect = _cross_gram_impl(z, x, invs2, g2, jax.lax.Precision.HIGHEST)
+    with _interpret_ctx():
+        got = _cross_gram_4d(z, x, invs2, g2, precision=jax.lax.Precision.HIGHEST)
+    assert got.shape == (H, O, M, B)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), rtol=1e-5, atol=1e-6
+    )
+
+
 class TestCholInv:
     def _spd(self, G, S, seed):
         rng = np.random.default_rng(seed)

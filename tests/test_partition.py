@@ -152,6 +152,36 @@ def test_chol_and_inv_blocked_partitioned(mesh, monkeypatch):
     np.testing.assert_array_equal(np.asarray(X1), np.asarray(X0))
 
 
+def test_cross_gram_partitioned_matches_and_stays_sharded(mesh, monkeypatch):
+    """The predictive Kzx rule: class axis over "model", data batch over
+    "data" — shard-local blocks, no communication, grads intact."""
+    from vargp_tpu.kernels import cross_gram
+
+    rng = np.random.default_rng(23)
+    H, O, M, B, D = 3, 10, 8, 16, 5
+    theta = jnp.asarray(rng.standard_normal((H, D + 1)).astype(np.float32) * 0.2)
+    z = jnp.asarray(rng.standard_normal((O, M, D)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((B, D)).astype(np.float32))
+
+    monkeypatch.setenv("VARGP_TPU_PARTITION_KERNELS", "0")
+    ref = jax.jit(lambda *a: cross_gram(*a))(theta, z, x)
+    gref = jax.jit(
+        jax.grad(lambda z_: jnp.sum(jnp.sin(cross_gram(theta, z_, x))))
+    )(z)
+
+    monkeypatch.setenv("VARGP_TPU_PARTITION_KERNELS", "auto")
+    zs = jax.device_put(z, NamedSharding(mesh, P("model", None, None)))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", None)))
+    out = jax.jit(lambda *a: cross_gram(*a))(theta, zs, xs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+    assert out.sharding.spec[1] == "model"
+    assert out.sharding.spec[3] == "data"
+    g = jax.jit(
+        jax.grad(lambda z_: jnp.sum(jnp.sin(cross_gram(theta, z_, xs))))
+    )(zs)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(gref), rtol=2e-4, atol=2e-4)
+
+
 def test_sym_gram_no_allgather_of_sharded_class_axis(mesh, monkeypatch):
     """The point of the rule: the compiled module must not gather the
     class-sharded operand back to full size before the Gram."""

@@ -293,20 +293,32 @@ def permuted_mnist(
 def varying_m(
     ms=(20, 40, 60, 80, 100, 120, 140, 160, 180, 200),
     data_dir=None, epochs=500, lr=3e-3, batch_size=512, beta=10.0,
-    seed=None, patience=20, log_dir=None, n_tasks=5, **kwargs,
+    seed=None, patience=20, log_dir=None, n_tasks=5, dataset="s_mnist",
+    **kwargs,
 ):
-    """Inducing-point sweep: final average S-MNIST accuracy vs M
-    (parity: mnist.ipynb cell 17, varying_M.csv)."""
+    """Inducing-point sweep: final average accuracy vs M
+    (parity: mnist.ipynb cell 17, varying_M.csv — full 10-point grid
+    M in {20, ..., 200}).
+
+    ``dataset``: "s_mnist" (the reference protocol; surrogate MNIST on
+    zero-egress hosts) or "s_digits" (REAL sklearn digits — the sweep
+    with genuine accuracy-vs-M signal on this host)."""
     import json
 
-    base = log_dir or _log_dir("varying_m")
+    if dataset not in ("s_mnist", "s_digits"):
+        raise ValueError(f"dataset={dataset!r}: expected s_mnist or s_digits")
+    base = log_dir or _log_dir(f"varying_m_{dataset}" if dataset != "s_mnist" else "varying_m")
     results = {}
     for m in ms:
-        _, summaries = split_mnist(
-            data_dir=data_dir, epochs=epochs, M=int(m), lr=lr,
-            batch_size=batch_size, beta=beta, seed=seed, patience=patience,
+        common = dict(
+            epochs=epochs, M=int(m), lr=lr, batch_size=batch_size,
+            beta=beta, seed=seed, patience=patience,
             log_dir=os.path.join(base, f"M{m}"), n_tasks=n_tasks, **kwargs,
         )
+        if dataset == "s_digits":
+            _, summaries = split_digits(**common)
+        else:
+            _, summaries = split_mnist(data_dir=data_dir, **common)
         final = summaries[-1] if summaries else {}
         acc = next(
             (v for k, v in final.items() if k.endswith("test/acc")), 0.0

@@ -138,12 +138,20 @@ def gram_diag(theta: jax.Array) -> jax.Array:
 
 
 def _cross_gram_fwd_math(z, x, invs2, gamma2, prec):
+    # Forward K: Pallas kernel on TPU (emits the consumed (H, O, M, B)
+    # layout directly — the einsum dot_general emits (O, M, H, B) and pays
+    # a relayout transpose, 123 MB/batch at analysis MC budgets), XLA math
+    # elsewhere; partitioned wrapper when a mesh is live (ops/partition).
+    from vargp_tpu.ops.partition import cross_gram_partitioned, partition_enabled
+    from vargp_tpu.ops.pallas.rbf_gram import _cross_gram_impl
+
+    if partition_enabled():
+        K = cross_gram_partitioned(z, x, invs2, gamma2, prec)
+    else:
+        K = _cross_gram_impl(z, x, invs2, gamma2, prec)
+    # xs is a VJP residual only — dead-code-eliminated in primal-only use
     xs = x[None] * invs2[:, None, :]  # (H, B, D)
-    cross = jnp.einsum("oid,hbd->hoib", z, xs, precision=prec)
-    zz = jnp.einsum("oid,hd->hoi", z * z, invs2, precision=prec)
-    xx = jnp.einsum("bd,hd->hb", x * x, invs2, precision=prec)
-    d2 = jnp.maximum(zz[..., None] + xx[:, None, None, :] - 2.0 * cross, 0.0)
-    return gamma2[:, None, None, None] * jnp.exp(-0.5 * d2), xs
+    return K, xs
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))

@@ -381,6 +381,111 @@ def _sym_gram_4d(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
     return out[:, :, :M, :M]
 
 
+# ---------------------------------------------------------------------------
+# Fused-scaling cross Gram (the predictive Kzx path)
+# ---------------------------------------------------------------------------
+#
+# K[h, o, i, b] = gamma2[h] * exp(-0.5 * sum_d invs2[h,d] (z[o,i,d]-x[b,d])^2)
+#
+# The XLA formulation (kernels.rbf._cross_gram_fwd_math) contracts
+# einsum("oid,hbd->hoib") whose dot_general emits (o,i,h,b) and pays an
+# explicit relayout transpose to (h,o,i,b) — 123 MB/batch at analysis MC
+# budgets (H=20, S=300, B=512; flops_audit_eval attribution).  This kernel
+# writes the consumed layout directly: grid (H, O), the shared batch x is
+# fetched into VMEM once (constant index map -> no per-program re-DMA),
+# scaled by the per-hyper inverse-square lengthscales in VMEM, and the
+# (M, B) block never round-trips between the distance and the exp.
+# Scaling convention matches the XLA math exactly: x carries invs2, z is
+# raw (zz/xx norms weighted by invs2).
+
+
+def _make_cross_gram_kernel(precision):
+    def _kernel(z_ref, x_ref, inv2_ref, g2_ref, out_ref):
+        inv2 = inv2_ref[0, 0]  # (D,)
+        z = z_ref[0]  # (R, D) raw inducing rows
+        x = x_ref[...]  # (B, D) shared data batch
+        sx = x * inv2  # (B, D)
+        zz = jnp.sum(z * (z * inv2), axis=-1)[:, None]  # (R, 1)
+        xx = jnp.sum(x * sx, axis=-1)[None, :]  # (1, B)
+        xy = jax.lax.dot_general(
+            z,
+            sx,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=precision,
+        )
+        d2 = jnp.maximum(zz - 2.0 * xy + xx, 0.0)
+        out_ref[0, 0] = g2_ref[pl.program_id(0), 0] * jnp.exp(-0.5 * d2)
+
+    return _kernel
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _cross_gram_4d(z: jax.Array, x: jax.Array, invs2: jax.Array,
+                   gamma2: jax.Array,
+                   precision=jax.lax.Precision.HIGH) -> jax.Array:
+    """z: (O, M, D), x: (B, D), invs2: (H, D), gamma2: (H,)
+    -> (H, O, M, B) in the natively consumed layout."""
+    O, M, D = z.shape
+    B = x.shape[0]
+    H = invs2.shape[0]
+    R = _round_up(M, 8)  # rows: sublane-aligned
+    Bp = _round_up(B, TILE_N)  # cols: lane-aligned
+    Dp = _round_up(D, 128)
+    z_p = jnp.pad(z, ((0, 0), (0, R - M), (0, Dp - D)))
+    x_p = jnp.pad(x, ((0, Bp - B), (0, Dp - D)))
+    inv_p = jnp.pad(invs2, ((0, 0), (0, Dp - D)))
+
+    out = pl.pallas_call(
+        _make_cross_gram_kernel(precision),
+        grid=(H, O),
+        in_specs=[
+            pl.BlockSpec(
+                (1, R, Dp), lambda h, o: (o, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (Bp, Dp), lambda h, o: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, 1, Dp), lambda h, o: (h, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (H, 1) scalar table
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, R, Bp), lambda h, o: (h, o, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((H, O, R, Bp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * H * O * R * Bp * Dp,
+            bytes_accessed=4 * (H * O * R * Dp + Bp * Dp + H * O * R * Bp),
+            transcendentals=H * O * R * Bp,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+    )(z_p, x_p, inv_p[:, None, :], gamma2.reshape(H, 1).astype(jnp.float32))
+    return out[:, :, :M, :B]
+
+
+def _cross_gram_impl(z: jax.Array, x: jax.Array, invs2: jax.Array,
+                     gamma2: jax.Array,
+                     precision=jax.lax.Precision.HIGH) -> jax.Array:
+    """Backend-dispatching cross-Gram body (no VJP, no partitioning).
+
+    Mosaic kernel on TPU-like backends; the equivalent XLA math elsewhere
+    so the CPU-mesh partitioning tests exercise the rule that wraps this."""
+    from vargp_tpu.ops.dispatch import get_backend
+
+    if get_backend() == "pallas":
+        return _cross_gram_4d(z, x, invs2, gamma2, precision)
+    xs = x[None] * invs2[:, None, :]  # (H, B, D)
+    cross = jnp.einsum("oid,hbd->hoib", z, xs, precision=precision)
+    zz = jnp.einsum("oid,hd->hoi", z * z, invs2, precision=precision)
+    xx = jnp.einsum("bd,hd->hb", x * x, invs2, precision=precision)
+    d2 = jnp.maximum(zz[..., None] + xx[:, None, None, :] - 2.0 * cross, 0.0)
+    return gamma2[:, None, None, None] * jnp.exp(-0.5 * d2)
+
+
 def _sym_gram_impl(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
                    precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Backend-dispatching symmetric-Gram body (no VJP, no partitioning).

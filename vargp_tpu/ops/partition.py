@@ -138,6 +138,54 @@ def rbf_gram_partitioned(sx, sy, g2, precision):
 
 
 # ---------------------------------------------------------------------------
+# Fused cross Gram (predictive Kzx): z (O, M, D), x (B, D), invs2 (H, D),
+# gamma2 (H,) -> (H, O, M, B).  Shardable factors: h (hyper), o (class),
+# b (data batch) — under the ("data", "model") mesh o rides "model" and
+# b rides "data", so the kernel runs on shard-local blocks with zero
+# communication.
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def _cross_gram_part():
+    from vargp_tpu.ops.pallas.rbf_gram import _cross_gram_impl
+
+    f = custom_partitioning(_cross_gram_impl, static_argnums=(4,))
+
+    def part(precision, mesh, arg_shapes, result_shape):
+        z_s, x_s, inv_s, g2_s = (a.sharding for a in arg_shapes)
+        o_ax = _dim_entry(z_s, 0)
+        b_ax = _dim_entry(x_s, 0)
+        h_ax = _dim_entry(inv_s, 0) or _dim_entry(g2_s, 0)
+        # one mesh axis cannot shard two output dims
+        if b_ax is not None and b_ax == o_ax:
+            b_ax = None
+        if h_ax is not None and h_ax in (o_ax, b_ax):
+            h_ax = None
+        arg_sh = (
+            NamedSharding(mesh, P(o_ax, None, None)),
+            NamedSharding(mesh, P(b_ax, None)),
+            NamedSharding(mesh, P(h_ax, None)),
+            NamedSharding(mesh, P(h_ax)),
+        )
+        res_sh = NamedSharding(mesh, P(h_ax, o_ax, None, b_ax))
+
+        def lower(z, x, invs2, gamma2):
+            return _cross_gram_impl(z, x, invs2, gamma2, precision)
+
+        return mesh, lower, res_sh, arg_sh
+
+    f.def_partition(
+        partition=part, sharding_rule="o m d, b d, h d, h -> h o m b"
+    )
+    return f
+
+
+def cross_gram_partitioned(z, x, invs2, gamma2, precision):
+    return _cross_gram_part()(z, x, invs2, gamma2, precision)
+
+
+# ---------------------------------------------------------------------------
 # Diagonal-block Cholesky: K (..., S, S) -> L (..., S, S), batch-parallel
 # over every leading dim.  Rank-generic via a per-ndim wrapper cache.
 # ---------------------------------------------------------------------------
