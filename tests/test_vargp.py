@@ -268,7 +268,10 @@ def test_loss_and_grads_are_finite():
     assert all(float(jnp.abs(g).sum()) > 0 for g in flat)
 
 
-@pytest.mark.parametrize("ep_var_mean", [True, False])
+@pytest.mark.parametrize(
+    "ep_var_mean",
+    [True, pytest.param(False, marks=pytest.mark.slow)],
+)
 def test_factored_ar_form_matches_materialized(monkeypatch, ep_var_mean):
     """Model-level A/B of VARGP_TPU_AR_FORM: the whitened factored
     posterior (production default for equal-block chains >= 768 rows;

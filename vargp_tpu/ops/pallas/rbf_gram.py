@@ -399,7 +399,30 @@ def _sym_gram_4d(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
 # raw (zz/xx norms weighted by invs2).
 
 
+def _dot_nt_bf16x3(a, b):
+    """a @ b^T with bf16x3 emulation (the 3-product scheme XLA lowers
+    Precision.HIGH to).  Mosaic rejects precision=HIGH on dot_general, so
+    the splitting is explicit: hi = bf16(x), lo = bf16(x - hi); the lo*lo
+    term (~2^-32 relative) is dropped exactly as XLA's HIGH does."""
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    def dn(u, v):
+        return jax.lax.dot_general(
+            u,
+            v,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    return dn(a_hi, b_hi) + (dn(a_hi, b_lo) + dn(a_lo, b_hi))
+
+
 def _make_cross_gram_kernel(precision):
+    high = precision == jax.lax.Precision.HIGH
+
     def _kernel(z_ref, x_ref, inv2_ref, g2_ref, out_ref):
         inv2 = inv2_ref[0, 0]  # (D,)
         z = z_ref[0]  # (R, D) raw inducing rows
@@ -407,13 +430,16 @@ def _make_cross_gram_kernel(precision):
         sx = x * inv2  # (B, D)
         zz = jnp.sum(z * (z * inv2), axis=-1)[:, None]  # (R, 1)
         xx = jnp.sum(x * sx, axis=-1)[None, :]  # (1, B)
-        xy = jax.lax.dot_general(
-            z,
-            sx,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
+        if high:
+            xy = _dot_nt_bf16x3(z, sx)
+        else:
+            xy = jax.lax.dot_general(
+                z,
+                sx,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=precision,
+            )
         d2 = jnp.maximum(zz - 2.0 * xy + xx, 0.0)
         out_ref[0, 0] = g2_ref[pl.program_id(0), 0] * jnp.exp(-0.5 * d2)
 
