@@ -74,6 +74,30 @@ def test_toy_driver_resume(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
+def test_varying_m_resume(tmp_path):
+    """Sweep resume: completed points are read back from their metrics
+    (identical value), not re-trained; missing points run fresh."""
+    r1 = vargp_run.varying_m(
+        ms=(4,), dataset="s_digits", epochs=2, eval_interval=1,
+        batch_size=256, seed=0, patience=-1, n_tasks=2,
+        log_dir=str(tmp_path),
+    )
+    # drop the sweep summary so only the per-M artifacts remain, then
+    # resume with one finished + one fresh point
+    os.remove(tmp_path / "varying_M.json")
+    mtime = os.path.getmtime(tmp_path / "M4" / "metrics.jsonl")
+    r2 = vargp_run.varying_m(
+        ms=(4, 6), dataset="s_digits", epochs=2, eval_interval=1,
+        batch_size=256, seed=0, patience=-1, n_tasks=2,
+        log_dir=str(tmp_path), resume=True,
+    )
+    assert r2[4] == r1[4]
+    assert os.path.getmtime(tmp_path / "M4" / "metrics.jsonl") == mtime
+    assert 0.0 <= r2[6] <= 1.0
+    assert os.path.exists(tmp_path / "varying_M.json")
+
+
 def test_regression_driver(tmp_path):
     from vargp_tpu.experiments.regression import regression
 

@@ -290,11 +290,36 @@ def permuted_mnist(
     )
 
 
+def _completed_sweep_acc(m_dir, n_tasks):
+    """Recover a finished sweep point's metric from its metrics.jsonl.
+
+    Returns the early-stopper-best final-task test accuracy (the exact
+    value a fresh run's ``acc_summary`` would report — train.loop logs it
+    as ``task{T-1}/test/acc_best``), or None if the run never reached the
+    final task (incomplete => must be re-run)."""
+    import json
+
+    path = os.path.join(m_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return None
+    want = f"task{n_tasks - 1}/test/acc_best"
+    acc = None
+    with open(path) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("tag") == want:
+                acc = rec["value"]
+    return acc
+
+
 def varying_m(
     ms=(20, 40, 60, 80, 100, 120, 140, 160, 180, 200),
     data_dir=None, epochs=500, lr=3e-3, batch_size=512, beta=10.0,
     seed=None, patience=20, log_dir=None, n_tasks=5, dataset="s_mnist",
-    **kwargs,
+    resume=False, **kwargs,
 ):
     """Inducing-point sweep: final average accuracy vs M
     (parity: mnist.ipynb cell 17, varying_M.csv — full 10-point grid
@@ -302,7 +327,13 @@ def varying_m(
 
     ``dataset``: "s_mnist" (the reference protocol; surrogate MNIST on
     zero-egress hosts) or "s_digits" (REAL sklearn digits — the sweep
-    with genuine accuracy-vs-M signal on this host)."""
+    with genuine accuracy-vs-M signal on this host).
+
+    ``resume=True``: sweep points whose log dir already holds a completed
+    run (final-task ``test/acc_best`` in metrics.jsonl) are read back
+    instead of re-trained, and partially-completed points resume from
+    their checkpoint chain — a multi-hour 10-point sweep survives
+    interruption at the cost of the finished prefix's file reads."""
     import json
 
     if dataset not in ("s_mnist", "s_digits"):
@@ -310,10 +341,17 @@ def varying_m(
     base = log_dir or _log_dir(f"varying_m_{dataset}" if dataset != "s_mnist" else "varying_m")
     results = {}
     for m in ms:
+        m_dir = os.path.join(base, f"M{m}")
+        if resume:
+            acc = _completed_sweep_acc(m_dir, n_tasks)
+            if acc is not None:
+                results[int(m)] = float(acc)
+                print(f"[varying_m] M={m}: resumed, final test acc {acc:.4f}")
+                continue
         common = dict(
             epochs=epochs, M=int(m), lr=lr, batch_size=batch_size,
             beta=beta, seed=seed, patience=patience,
-            log_dir=os.path.join(base, f"M{m}"), n_tasks=n_tasks, **kwargs,
+            log_dir=m_dir, n_tasks=n_tasks, resume=resume, **kwargs,
         )
         if dataset == "s_digits":
             _, summaries = split_digits(**common)
