@@ -74,6 +74,28 @@ def test_toy_driver_resume(tmp_path):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b))
 
 
+def test_completed_sweep_acc_readback(tmp_path):
+    """Fast tier: the sweep-resume helper recovers exactly the final-task
+    test/acc_best record (last occurrence wins) and returns None for
+    incomplete or absent runs."""
+    import json
+
+    m_dir = tmp_path / "M20"
+    m_dir.mkdir()
+    rows = [
+        {"tag": "task0/test/acc_best", "value": 0.5, "step": 10},
+        {"tag": "task1/test/acc_best", "value": 0.7, "step": 10},
+        {"tag": "task1/test/acc_best", "value": 0.9, "step": 20},
+    ]
+    with open(m_dir / "metrics.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    assert vargp_run._completed_sweep_acc(str(m_dir), n_tasks=2) == 0.9
+    # run never reached the final task -> incomplete, must re-run
+    assert vargp_run._completed_sweep_acc(str(m_dir), n_tasks=3) is None
+    assert vargp_run._completed_sweep_acc(str(tmp_path / "M40"), 2) is None
+
+
 @pytest.mark.slow
 def test_varying_m_resume(tmp_path):
     """Sweep resume: completed points are read back from their metrics
