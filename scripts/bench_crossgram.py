@@ -39,7 +39,10 @@ def run(variant: str):
         g2 = jnp.ones((H,), jnp.float32)
 
         if variant == "pallas":
-            base = lambda z_: _cross_gram_4d(z, x, invs2, g2, precision=prec)
+            # take z through the traced argument (NOT a closure) so the
+            # kernel's pad/layout prep cannot constant-fold at compile
+            # time — the XLA arm pays that cost from its traced operand
+            base = lambda z_: _cross_gram_4d(z_, x, invs2, g2, precision=prec)
         else:
             # force the einsum branch regardless of backend
             def base(z_):

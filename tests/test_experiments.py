@@ -96,6 +96,27 @@ def test_completed_sweep_acc_readback(tmp_path):
     assert vargp_run._completed_sweep_acc(str(tmp_path / "M40"), 2) is None
 
 
+def test_varying_m_no_silent_zero(tmp_path, monkeypatch):
+    """A sweep point whose run yields an empty final summary (all tasks
+    reloaded from checkpoints) must recover the metric from its metrics
+    file — or raise — never record a bogus 0.0."""
+    import json
+
+    monkeypatch.setattr(vargp_run, "split_digits", lambda **kw: ([], [{}]))
+    with pytest.raises(RuntimeError, match="refusing"):
+        vargp_run.varying_m(
+            ms=(4,), dataset="s_digits", n_tasks=2, log_dir=str(tmp_path)
+        )
+    m_dir = tmp_path / "M4"
+    m_dir.mkdir(exist_ok=True)
+    with open(m_dir / "metrics.jsonl", "w") as f:
+        f.write(json.dumps({"tag": "task1/test/acc_best", "value": 0.9}) + "\n")
+    r = vargp_run.varying_m(
+        ms=(4,), dataset="s_digits", n_tasks=2, log_dir=str(tmp_path)
+    )
+    assert r[4] == 0.9
+
+
 @pytest.mark.slow
 def test_varying_m_resume(tmp_path):
     """Sweep resume: completed points are read back from their metrics

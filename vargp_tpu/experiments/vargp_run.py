@@ -359,8 +359,18 @@ def varying_m(
             _, summaries = split_mnist(data_dir=data_dir, **common)
         final = summaries[-1] if summaries else {}
         acc = next(
-            (v for k, v in final.items() if k.endswith("test/acc")), 0.0
+            (v for k, v in final.items() if k.endswith("test/acc")), None
         )
+        if acc is None:
+            # every task reloaded from checkpoints (resume, no training):
+            # the final summary is empty — recover the metric from the
+            # run's own metrics file rather than silently recording 0.0
+            acc = _completed_sweep_acc(m_dir, n_tasks)
+        if acc is None:
+            raise RuntimeError(
+                f"varying_m M={m}: no final-task test accuracy in summaries"
+                f" or {m_dir}/metrics.jsonl — refusing to record a bogus 0.0"
+            )
         results[int(m)] = float(acc)
         print(f"[varying_m] M={m}: final test acc {acc:.4f}")
     os.makedirs(base, exist_ok=True)

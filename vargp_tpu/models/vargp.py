@@ -101,12 +101,13 @@ _FAST_CHAIN_MIN_ROWS = 768
 
 
 def _ar_form() -> str:
-    """AR-posterior representation for large equal-block chains (S >= 768,
-    T >= 2): "factored" (default — whitened blockdiag(w) form, skips the
-    LS materialization + un-whitening; same math, ~5x less posterior-
+    """AR-posterior representation for equal-block chains (T >= 2, every
+    chain size): "factored" (default — whitened blockdiag(w) form, skips
+    the LS materialization + un-whitening; same math, ~5x less posterior-
     assembly data movement at S=1000) or "materialized" (the explicit
-    L @ blockdiag(w) scale factor).  Unknown values raise — a typo must
-    not silently change the compiled program."""
+    scale-factor construction — the block-LDL build at S >=
+    _FAST_CHAIN_MIN_ROWS, the sequential fold below it).  Unknown values
+    raise — a typo must not silently change the compiled program."""
     import os
 
     v = os.environ.get("VARGP_TPU_AR_FORM", "factored")
