@@ -702,3 +702,46 @@ def test_filled_layout_bit_exact_and_gather_free():
 
     prims = all_prims(jx.jaxpr, set())
     assert not prims & {"gather", "scatter", "scatter-add", "scatter_add"}, prims
+
+
+def test_vec2tril_rejects_mismatched_m():
+    """An explicit m that mismatches the packed length must raise: the
+    unpack gather would otherwise clamp OOB indices and return a silently
+    corrupted factor (checkpoint trained at a different M, cfg.M typo)."""
+    vec = jnp.arange(1.0, 7.0)  # packed length 6 == m=3
+    gpmath.vec2tril(vec, 3)  # matching m is fine
+    for fn in (
+        gpmath.vec2tril,
+        gpmath.tril.rowmajor_to_filled,
+        gpmath.tril.filled_to_rowmajor,
+        gpmath.tril.tril_from_filled,
+    ):
+        with pytest.raises(ValueError, match="packed length"):
+            fn(vec, 4)
+
+
+def test_ar_joint_posterior_factored_heterogeneous_batch():
+    """The factored (default) form must accept the same heterogeneous
+    per-task batch dims the fast/materialized forms accept — e.g. a chain
+    mixing (O, M, 1) and (1, M, 1) means."""
+    rng = np.random.default_rng(3)
+    M, T, O = 4, 2, 3
+    S = M * T
+    K = rand_spd(rng, n=S) + 0.1 * np.eye(S, dtype=np.float32)
+    L = gpmath.cholesky(jnp.asarray(K[None]).repeat(O, 0))  # (O, S, S)
+    Li = gpmath.tri_inv(L)
+    ums = [
+        jnp.asarray(rng.standard_normal((O, M, 1)).astype(np.float32)),
+        jnp.asarray(rng.standard_normal((1, M, 1)).astype(np.float32)),
+    ]
+    uts = [
+        jnp.asarray(
+            np.linalg.cholesky(rand_spd(rng, n=M))[None].astype(np.float32)
+        ).repeat(O, 0),
+        jnp.asarray(np.linalg.cholesky(rand_spd(rng, n=M))[None].astype(np.float32)),
+    ]
+    fast = gpmath.ar_joint_posterior_fast(L, Li, ums, uts)
+    fac = gpmath.ar_joint_posterior_factored(L, Li, ums, uts)
+    np.testing.assert_allclose(
+        np.asarray(fac.mean), np.asarray(fast.mean), rtol=1e-4, atol=1e-5
+    )

@@ -304,9 +304,19 @@ def ar_joint_posterior_factored(
     )
 
     # per-task stacks with the block axis inserted at -3 (batch position):
-    # (O, M, .) entries -> (O, T, M, .), broadcast over hypers by the dots
-    um = jnp.stack(u_means, axis=-3)
-    ut = jnp.stack(u_trils, axis=-3)
+    # (O, M, .) entries -> (O, T, M, .), broadcast over hypers by the dots.
+    # Entries broadcast to their COMMON batch first (NOT the full posterior
+    # batch — that would materialize per-hyper copies): heterogeneous
+    # per-task batch dims must work here exactly as they do in the
+    # fast/materialized forms, or the default form becomes a shape trap.
+    um_b = jnp.broadcast_shapes(*[u.shape[:-2] for u in u_means])
+    ut_b = jnp.broadcast_shapes(*[u.shape[:-2] for u in u_trils])
+    um = jnp.stack(
+        [jnp.broadcast_to(u, (*um_b, M, 1)) for u in u_means], axis=-3
+    )
+    ut = jnp.stack(
+        [jnp.broadcast_to(u, (*ut_b, M, M)) for u in u_trils], axis=-3
+    )
     # diagonal M-blocks of L^{-1}: static slices + stack (slice cotangents
     # are pads — no scatter in the backward; same trick as the fast path)
     Dinv = jnp.stack(

@@ -136,7 +136,14 @@ def _diag_chol(A: jax.Array) -> jax.Array:
 def _diag_chol_impl(A: jax.Array) -> jax.Array:
     """Backend-dispatching body of ``_diag_chol`` (no partitioning)."""
     S = A.shape[-1]
-    if S > 128 or os.environ.get("VARGP_TPU_DIAG_CHOL") == "xla":
+    knob = os.environ.get("VARGP_TPU_DIAG_CHOL", "auto")
+    if knob not in ("auto", "xla"):
+        # a typo must not silently keep the Pallas kernel (same loud-fail
+        # contract as VARGP_TPU_BWD_MATMUL / VARGP_TPU_AR_FORM)
+        raise ValueError(
+            f"VARGP_TPU_DIAG_CHOL={knob!r}: expected 'auto' or 'xla'"
+        )
+    if S > 128 or knob == "xla":
         return jnp.linalg.cholesky(A)
     from vargp_tpu.ops.dispatch import get_backend
 
@@ -310,11 +317,6 @@ def tri_inv(L: jax.Array, block: int = _TRI_INV_BLOCK) -> jax.Array:
 
     X = jnp.concatenate(rows, axis=-2)
     return X[..., :S, :S]
-
-
-def matmul(a: jax.Array, b: jax.Array) -> jax.Array:
-    """Batched matmul at HIGHEST precision (f32 accumulation on the MXU)."""
-    return jnp.einsum("...ij,...jk->...ik", a, b, precision=_HIGHEST)
 
 
 def tri_half_split(k: int) -> int | None:

@@ -97,12 +97,26 @@ def _vec2tril_bwd(m, vec, g):
 _vec2tril_p.defvjp(_vec2tril_fwd, _vec2tril_bwd)
 
 
+def _check_packed_len(vec: jax.Array, m: int, who: str) -> None:
+    """An explicit m that mismatches the packed length must raise: the
+    unpack gather would otherwise CLAMP out-of-bounds indices and return a
+    silently corrupted factor (e.g. a checkpoint trained at a different M,
+    or a cfg.M typo)."""
+    if vec.shape[-1] != tril_size(m):
+        raise ValueError(
+            f"{who}: packed length {vec.shape[-1]} does not match m={m} "
+            f"(expected {tril_size(m)})"
+        )
+
+
 def vec2tril(vec: jax.Array, m: int | None = None) -> jax.Array:
     """Unpack ``... x m(m+1)/2`` vectors into ``... x m x m`` lower-triangular
     matrices, applying softplus to the diagonal for positivity.
     """
     if m is None:
         m = tril_dim(vec.shape[-1])
+    else:
+        _check_packed_len(vec, m, "vec2tril")
     return _vec2tril_p(m, vec)
 
 
@@ -157,6 +171,8 @@ def rowmajor_to_filled(vec: jax.Array, m: int | None = None) -> jax.Array:
     gather — boundary use only, never inside the step)."""
     if m is None:
         m = tril_dim(vec.shape[-1])
+    else:
+        _check_packed_len(vec, m, "rowmajor_to_filled")
     return vec[..., jnp.asarray(filled_perm(m))]
 
 
@@ -164,6 +180,8 @@ def filled_to_rowmajor(vec: jax.Array, m: int | None = None) -> jax.Array:
     """Inverse of :func:`rowmajor_to_filled`."""
     if m is None:
         m = tril_dim(vec.shape[-1])
+    else:
+        _check_packed_len(vec, m, "filled_to_rowmajor")
     return vec[..., jnp.asarray(_filled_perm_inv(m))]
 
 
@@ -231,6 +249,8 @@ def tril_from_filled(vec: jax.Array, m: int | None = None) -> jax.Array:
     sigmoid chain on the diagonal; only the packing order differs."""
     if m is None:
         m = tril_dim(vec.shape[-1])
+    else:
+        _check_packed_len(vec, m, "tril_from_filled")
     return _tril_from_filled_p(m, vec)
 
 

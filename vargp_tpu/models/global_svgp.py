@@ -117,7 +117,11 @@ def forward(
     mu, diag1, diag2, Lkuu = _whiten(
         theta, params.z, xb, params.u_mean, u_tril, cfg.jitter, full_cov=False
     )
-    var = gram_diag(theta) - diag1 + diag2
+    # Clamp as in gpmath.whitened_marginal_diag: the inducing points here
+    # ARE training rows (grow_inducing/select_inducing), so x == z occurs
+    # exactly and f32 rounding can push the ~0 conditional variance
+    # slightly negative -> NaN in the sqrt downstream.
+    var = jnp.maximum(gram_diag(theta) - diag1 + diag2, 0.0)
 
     stats = dict(u_tril=u_tril, Lkuu=Lkuu, theta=theta)
     return mu, var, stats
