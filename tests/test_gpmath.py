@@ -418,8 +418,10 @@ def test_ar_joint_posterior_factored_matches_fast():
     fac = gpmath.ar_joint_posterior_factored(L, Li, ums, uts)
 
     assert fac.w.shape == (T, M, M)
+    # the factored mean is WHITENED: L @ v == the fast path's mean
     np.testing.assert_allclose(
-        np.asarray(fac.mean), np.asarray(fast.mean), rtol=1e-4, atol=1e-5
+        np.asarray(gpmath.mm(L, fac.v)),
+        np.asarray(fast.mean), rtol=1e-4, atol=1e-5,
     )
     # L @ blockdiag(w) == LS (the representation identity)
     bd = np.zeros((S, S), np.float32)
@@ -436,7 +438,7 @@ def test_ar_joint_posterior_factored_matches_fast():
         L, fast.mean, fast.LS, Kzx, kxx, L_inv=Li
     )
     mu2, var2 = gpmath.whitened_marginal_diag_factored(
-        Li, fac.mean, fac.w, Kzx, kxx
+        Li, fac.v, fac.w, Kzx, kxx
     )
     np.testing.assert_allclose(np.asarray(mu1), np.asarray(mu2), rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(var1), np.asarray(var2), rtol=1e-2, atol=1e-4)
@@ -464,7 +466,7 @@ def test_ar_joint_posterior_factored_batched_grads():
         Li = gpmath.tri_inv(L)
         fac = gpmath.ar_joint_posterior_factored(L, Li, ums, uts)
         mu, var = gpmath.whitened_marginal_diag_factored(
-            Li, fac.mean, fac.w, Kzx, kxx
+            Li, fac.v, fac.w, Kzx, kxx
         )
         return jnp.sum(mu) + jnp.sum(var)
 
@@ -743,5 +745,6 @@ def test_ar_joint_posterior_factored_heterogeneous_batch():
     fast = gpmath.ar_joint_posterior_fast(L, Li, ums, uts)
     fac = gpmath.ar_joint_posterior_factored(L, Li, ums, uts)
     np.testing.assert_allclose(
-        np.asarray(fac.mean), np.asarray(fast.mean), rtol=1e-4, atol=1e-5
+        np.asarray(gpmath.mm(L, fac.v)),
+        np.asarray(fast.mean), rtol=1e-4, atol=1e-5,
     )

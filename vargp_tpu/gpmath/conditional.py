@@ -272,11 +272,20 @@ class ARFactored(NamedTuple):
     the S=1000 chain) AND the marginal's L^{-1} @ LS un-whitening matmuls,
     which multiplied by L only to immediately multiply by its inverse.
 
-    mean: ... x S x 1;  w: ... x T x M x M (block axis BEFORE the matrix
-    axes so every consumer is a clean batched matmul, no transposes).
+    The MEAN is whitened too: v = L^{-1} mean = stack_t(inv(L_tt) b_t)
+    comes straight out of the construction, and every consumer (the
+    marginal's Lm, the prefix-sampling branch) needs exactly v — storing
+    the un-whitened mean would re-introduce an L @ v / L^{-1} @ (L v)
+    round trip per consumer (one full (S, S) HBM read each at the S=1000
+    chain, plus bf16x3 round-trip error).  Recover the un-whitened mean
+    as ``mm(L, v)`` if ever needed.
+
+    v: ... x S x 1 WHITENED mean;  w: ... x T x M x M (block axis BEFORE
+    the matrix axes so every consumer is a clean batched matmul, no
+    transposes).
     """
 
-    mean: jax.Array
+    v: jax.Array
     w: jax.Array
 
 
@@ -326,16 +335,15 @@ def ar_joint_posterior_factored(
     w = mm_h(Dinv, ut)  # (..., T, M, M)
     v = mm_h(Dinv, um)  # (..., T, M, 1)
 
-    # mean = G b = L . stack_t(inv(L_tt) b_t): ONE matmul, no relayout —
+    # whitened mean v = L^{-1} (G b) = stack_t(inv(L_tt) b_t) directly —
     # the (..., T, M, 1) -> (..., S, 1) reshape is a free axis merge.
     v_full = jnp.broadcast_to(v, (*batch, T, M, 1)).reshape(*batch, S, 1)
-    mean = mm(L_full, v_full)
-    return ARFactored(mean=mean, w=jnp.broadcast_to(w, (*batch, T, M, M)))
+    return ARFactored(v=v_full, w=jnp.broadcast_to(w, (*batch, T, M, M)))
 
 
 def whitened_marginal_diag_factored(
     L_inv: jax.Array,
-    mean: jax.Array,
+    v_mean: jax.Array,
     w: jax.Array,
     Kzx: jax.Array,
     Kxx_diag: jax.Array,
@@ -345,10 +353,12 @@ def whitened_marginal_diag_factored(
     Identical math to ``whitened_marginal_diag`` with LS = L blockdiag(w):
     there C = (L^{-1} LS)^T (L^{-1} Kzx) — and L^{-1} LS == blockdiag(w)
     exactly, so the dense (S, S) C-product collapses to T batched
-    (M, M)^T @ (M, B) blocks (1/T of the FLOPs, zero relayout).
+    (M, M)^T @ (M, B) blocks (1/T of the FLOPs, zero relayout).  The mean
+    arrives already whitened (``ARFactored.v``), so Lm is a free alias
+    rather than an (S, S) solve/matmul.
     """
     T, M = w.shape[-3], w.shape[-1]
-    Lm = mm_h(L_inv, mean)
+    Lm = v_mean
     W = mm_h(L_inv, Kzx)  # (..., S, B)
     f_mean = jnp.einsum("...mi,...mb->...b", Lm, W, precision=_HIGHEST)
     diag1 = jnp.sum(jnp.square(W), axis=-2)

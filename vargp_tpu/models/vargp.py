@@ -195,17 +195,22 @@ class ChainPosterior(NamedTuple):
     Exactly one of (LS, w_blocks) is set: LS is the materialized
     (H, O, SM, SM) joint scale factor; w_blocks is the whitened factored
     form (H, O, T, M, M) with LS == L @ blockdiag(w_blocks) (see
-    gpmath.ar_joint_posterior_factored — large equal-block chains skip the
-    L @ ... @ L^{-1} round trip and its 120 MB relayouts)."""
+    gpmath.ar_joint_posterior_factored — equal-block chains skip the
+    L @ ... @ L^{-1} round trip and its 120 MB relayouts).  In factored
+    mode the mean is whitened too: ``mean`` is None and ``v_mean`` holds
+    L^{-1} mean — every consumer needs exactly that, so storing the
+    un-whitened mean would cost an (S, S) HBM read + bf16x3 round trip
+    per consumer."""
 
     theta: jax.Array  # (H, Dth+1)
     L: jax.Array  # (H, O, SM, SM)
     L_inv: jax.Array | None
-    mean: jax.Array  # (H, O, SM, 1) joint posterior mean
+    mean: jax.Array | None  # (H, O, SM, 1) joint posterior mean
     LS: jax.Array | None  # (H, O, SM, SM) joint posterior scale factor
     z_all: jax.Array  # (O, SM, D)
     u_tril_t: jax.Array  # (O, M, M) current task's unpacked scale factor
     w_blocks: jax.Array | None = None  # (H, O, T, M, M) whitened factors
+    v_mean: jax.Array | None = None  # (H, O, SM, 1) whitened mean (factored)
 
 
 def build_posterior(
@@ -258,8 +263,9 @@ def build_posterior(
         # materialized 29.1 -> 20.96 ms; losses identical to 4 decimals).
         fpost = gpmath.ar_joint_posterior_factored(L, L_inv, u_means, u_trils)
         return ChainPosterior(
-            theta=theta, L=L, L_inv=L_inv, mean=fpost.mean, LS=None,
+            theta=theta, L=L, L_inv=L_inv, mean=None, LS=None,
             z_all=z_all, u_tril_t=u_tril_t, w_blocks=fpost.w,
+            v_mean=fpost.v,
         )
     if L_inv is not None and z_all.shape[-2] >= _FAST_CHAIN_MIN_ROWS:
         # closed-form block-LDL construction (batched matmuls, no task
@@ -300,7 +306,7 @@ def marginal_diag(
     kxx_diag = gram_diag(cp.theta)  # (H, 1, 1)
     if cp.w_blocks is not None:
         return gpmath.whitened_marginal_diag_factored(
-            cp.L_inv, cp.mean, cp.w_blocks, Kzx, kxx_diag
+            cp.L_inv, cp.v_mean, cp.w_blocks, Kzx, kxx_diag
         )
     return gpmath.whitened_marginal_diag(
         cp.L, cp.mean, cp.LS, Kzx, kxx_diag, L_inv=cp.L_inv
@@ -346,23 +352,26 @@ def forward(
 
         # u_{<t} ~ q(u_{<t}|theta): prefix of the joint posterior, n_v draws
         # (parity: vargp.py:137-138)
-        mu_lt = post.mean[..., :c, 0]
         if cp.w_blocks is not None:
             # factored form: the conditional prior mean is
             # L21 L11^{-1} u_lt with u_lt = mu_lt + L11 blockdiag(w) eps,
             # so L11^{-1} u_lt = L11^{-1} mu_lt + blockdiag(w) eps EXACTLY
             # — sample in whitened space and skip both the L11 @ (sample)
             # and the L11^{-1} @ (un-sample) matmuls.  Prefix property:
-            # the first t-1 blocks of w ARE the prefix posterior's factors.
+            # the first t-1 blocks of w (and of the whitened mean v) ARE
+            # the prefix posterior's, since L is block-lower-triangular —
+            # so L11^{-1} mu_lt == v[:c] with no matmul at all.
             n_prev = c // cfg.M
+            v_lt = cp.v_mean[..., :c, :]
             eps = jax.random.normal(
-                k_u, (cfg.n_var_samples, *mu_lt.shape), dtype=mu_lt.dtype
+                k_u, (cfg.n_var_samples, *v_lt.shape[:-1]), dtype=v_lt.dtype
             )
             e4 = eps.reshape(*eps.shape[:-1], n_prev, cfg.M, 1)
             s = gpmath.mm(cp.w_blocks[..., :n_prev, :, :], e4)
             s = s.reshape(*eps.shape[:-1], c, 1)
-            w = gpmath.mm(L_inv[..., :c, :c], post.mean[..., :c, :]) + s
+            w = v_lt + s
         else:
+            mu_lt = post.mean[..., :c, 0]
             LS_lt = post.LS[..., :c, :c]
             u_lt = gpmath.mvn_sample(
                 k_u, mu_lt, LS_lt, sample_shape=(cfg.n_var_samples,)
