@@ -395,6 +395,7 @@ def whitened_marginal_diag(
     batch = jnp.broadcast_shapes(
         L.shape[:-2], LS.shape[:-2], mean.shape[:-2], Kzx.shape[:-2]
     )
+    diag2 = None
     if L_inv is not None:
         # separate MXU dots: concatenating the three right-hand sides into
         # one (M, 1+M+B) block costs a 0.2 ms copy on TPU and buys nothing
@@ -410,6 +411,7 @@ def whitened_marginal_diag(
             # C = LLS^T W product per block row (no assembled LLS needed)
             # — half + a quarter of those two dots' FLOPs at M >= 512.
             # Shape-gated: parity protocols (M <= 300) are untouched.
+            # diag2 only; the epilogue below is shared with every branch.
             a1, a2, a3 = L_inv[..., :h, :h], L_inv[..., h:, :h], L_inv[..., h:, h:]
             s1, s2, s3 = LS[..., :h, :h], LS[..., h:, :h], LS[..., h:, h:]
             M11 = mm_h(a1, s1)
@@ -418,14 +420,11 @@ def whitened_marginal_diag(
             W1, W2 = W[..., :h, :], W[..., h:, :]
             Ctop = mtm_h(M11, W1) + mtm_h(M21, W2)
             Cbot = mtm_h(M22, W2)
-            f_mean = jnp.einsum("...mi,...mb->...b", Lm, W, precision=_HIGHEST)
-            diag1 = jnp.sum(jnp.square(W), axis=-2)
             diag2 = jnp.sum(jnp.square(Ctop), axis=-2) + jnp.sum(
                 jnp.square(Cbot), axis=-2
             )
-            f_var = jnp.maximum(Kxx_diag - diag1 + diag2, 0.0)
-            return f_mean, f_var
-        LLS = mm_h(L_inv, LS)
+        else:
+            LLS = mm_h(L_inv, LS)
     else:
         # triangular-solve path: one batched solve for all three
         rhs = jnp.concatenate(
@@ -441,8 +440,9 @@ def whitened_marginal_diag(
 
     f_mean = jnp.einsum("...mi,...mb->...b", Lm, W, precision=_HIGHEST)
     diag1 = jnp.sum(jnp.square(W), axis=-2)
-    C = mtm_h(LLS, W)
-    diag2 = jnp.sum(jnp.square(C), axis=-2)
+    if diag2 is None:
+        C = mtm_h(LLS, W)
+        diag2 = jnp.sum(jnp.square(C), axis=-2)
     # Clamp: when a test point is near an inducing point the conditional
     # variance is ~0 and bf16x3 rounding in the L_inv branch can push
     # Kxx_diag - diag1 + diag2 slightly negative, producing NaN in the

@@ -153,14 +153,61 @@ def _diag_chol_impl(A: jax.Array) -> jax.Array:
 
     if S == BS:
         return diag_chol_pallas_t(A)
-    npad = BS - S
-    batch = A.shape[:-2]
-    pad_width = [(0, 0)] * len(batch) + [(0, npad), (0, npad)]
+    Lp = diag_chol_pallas_t(pad_identity_tail(A, BS))
+    return Lp[..., :S, :S]
+
+
+def pad_identity_tail(A: jax.Array, Sp: int) -> jax.Array:
+    """Pad ``... x S x S`` up to ``... x Sp x Sp`` with an identity tail:
+    the Cholesky / triangular inverse of blockdiag(A, I) is
+    blockdiag(op(A), I), so slicing the leading S x S block back out is
+    EXACT (tested).  jnp.pad + a constant diag-tail add lowers to a cheap
+    pad op; the .at[].set formulation costs a ~10x-slower
+    dynamic-update-slice on TPU (device trace)."""
+    S = A.shape[-1]
+    npad = Sp - S
+    pad_width = [(0, 0)] * (A.ndim - 2) + [(0, npad), (0, npad)]
     tail = jnp.diag(
         jnp.concatenate([jnp.zeros((S,), A.dtype), jnp.ones((npad,), A.dtype)])
     )
-    Lp = diag_chol_pallas_t(jnp.pad(A, pad_width) + tail)
-    return Lp[..., :S, :S]
+    return jnp.pad(A, pad_width) + tail
+
+
+def _tri_inv_rows(L, dinv_of, nb: int, block: int, Sp: int, batch, dtype):
+    """Contribution-accumulation row-block assembly of a block-lower-
+    triangular inverse (shared by tri_inv and chol_and_inv_blocked):
+
+        X[i,i] = dinv_i;   X[i,:i] = -dinv_i (sum_j L[i,j] X[j,:i])
+
+    Each finished row is kept FULL WIDTH (zeros beyond its block column),
+    so row i's prefix product is a plain sum of block x r0 matmuls over
+    finished rows — no intermediate X materialization, no scatter.  A
+    growing jnp.concatenate carry copies O(nb^2) row blocks (measured
+    +33% on the M=1024 step at nb=8); .at[].set scatters cost ~10x per
+    byte.  This form copies each row exactly twice (its own 3-piece
+    concat + the final stack).  ``dinv_of(i)`` returns inv(L[i,i])."""
+    def full_row(i, row_left):
+        r1 = (i + 1) * block
+        parts = ([row_left] if i else []) + [dinv_of(i)]
+        if Sp - r1:
+            parts.append(jnp.zeros((*batch, block, Sp - r1), dtype))
+        return jnp.concatenate(parts, axis=-1)
+
+    rows = [full_row(0, None)]
+    for i in range(1, nb):
+        r0, r1 = i * block, (i + 1) * block
+        acc = None
+        for j in range(i):
+            Lij = L[..., r0:r1, j * block : (j + 1) * block]
+            contrib = jnp.einsum(
+                "...ij,...jk->...ik", Lij, rows[j][..., :r0], precision=_HIGHEST
+            )
+            acc = contrib if acc is None else acc + contrib
+        row_left = -jnp.einsum(
+            "...ij,...jk->...ik", dinv_of(i), acc, precision=_HIGHEST
+        )
+        rows.append(full_row(i, row_left))
+    return jnp.concatenate(rows, axis=-2)
 
 
 def chol_and_inv_blocked(K: jax.Array, block_m: int):
@@ -180,7 +227,6 @@ def chol_and_inv_blocked(K: jax.Array, block_m: int):
         L = _diag_chol(K) if S <= 128 else jnp.linalg.cholesky(K)
         return L, _tri_inv_newton(L)
 
-    mm_ = lambda a, b: jnp.einsum("...ij,...jk->...ik", a, b, precision=_HIGHEST)
     mmT = lambda a, b: jnp.einsum("...ij,...kj->...ik", a, b, precision=_HIGHEST)
     batch = K.shape[:-2]
 
@@ -208,29 +254,12 @@ def chol_and_inv_blocked(K: jax.Array, block_m: int):
 
     L = jnp.concatenate([pad_col(c, t) for t, c in enumerate(cols)], axis=-1)
 
-    # inverse: row-block assembly in the contribution-accumulation form
-    # (each finished row kept FULL WIDTH; row t's prefix product is a sum
-    # of block x r0 matmuls over finished rows).  A growing
-    # jnp.concatenate carry copies O(T^2) row blocks — measured +33% on
-    # the M=1024 step at 8 blocks when tri_inv used that shape (see
-    # tri_inv's docstring note); each row here is copied exactly twice.
-    def full_row(t, row_left):
-        r0, r1 = t * block_m, (t + 1) * block_m
-        parts = ([row_left] if t else []) + [dinvs[t]]
-        if S - r1:
-            parts.append(jnp.zeros((*batch, block_m, S - r1), K.dtype))
-        return jnp.concatenate(parts, axis=-1)
-
-    rows = [full_row(0, None)]
-    for t in range(1, T):
-        r0, r1 = t * block_m, (t + 1) * block_m
-        acc = None
-        for j in range(t):
-            Lij = L[..., r0:r1, j * block_m : (j + 1) * block_m]
-            contrib = mm_(Lij, rows[j][..., :r0])
-            acc = contrib if acc is None else acc + contrib
-        rows.append(full_row(t, -mm_(dinvs[t], acc)))
-    return L, jnp.concatenate(rows, axis=-2)
+    # inverse: shared contribution-accumulation row assembly (see
+    # _tri_inv_rows for the scatter-free / no-growing-concat rationale)
+    X = _tri_inv_rows(
+        L, lambda t: dinvs[t], T, block_m, S, batch, K.dtype
+    )
+    return L, X
 
 
 def tri_inv(L: jax.Array, block: int = _TRI_INV_BLOCK) -> jax.Array:
@@ -258,18 +287,7 @@ def tri_inv(L: jax.Array, block: int = _TRI_INV_BLOCK) -> jax.Array:
     nb = -(-S // block)
     Sp = nb * block
     if Sp != S:
-        # pad with an identity tail: inverse of blockdiag(L, I) keeps the
-        # leading S x S block exact.  jnp.pad + a constant diag-tail add
-        # lowers to a cheap pad op; the .at[].set formulation costs a
-        # ~10x-slower dynamic-update-slice on TPU (device trace).
-        npad = Sp - S
-        pad_width = [(0, 0)] * len(batch) + [(0, npad), (0, npad)]
-        tail_eye = jnp.diag(
-            jnp.concatenate(
-                [jnp.zeros((S,), L.dtype), jnp.ones((npad,), L.dtype)]
-            )
-        )
-        L = jnp.pad(L, pad_width) + tail_eye
+        L = pad_identity_tail(L, Sp)
 
     # batched matmul-only inversion of the nb diagonal blocks; stacking on
     # a NEW LEADING axis keeps the (8,128)-tiled layout of the trailing
@@ -281,41 +299,8 @@ def tri_inv(L: jax.Array, block: int = _TRI_INV_BLOCK) -> jax.Array:
     )  # (nb, ..., B, B)
     dinv = _tri_inv_newton(diag_blocks)
 
-    # Row-block assembly, scatter-free AND without a growing concat chain:
-    #   X[i,i] = inv(L[i,i]);   X[i,:i] = -X[i,i] @ L[i,:i] @ X[:i,:i]
-    # Each finished row is kept FULL WIDTH (zeros beyond its block column),
-    # so row i's prefix product is a plain sum of block x Sp matmuls over
-    # the finished rows — no intermediate X materialization.  A growing
-    # jnp.concatenate carry copies O(nb^2) blocks (measured +33% on the
-    # M=1024 step at nb=8); .at[].set scatters cost ~10x per byte.  This
-    # form copies each row exactly twice (its own 3-piece concat + the
-    # final stack).
-    def full_row(i, row_left):
-        r0, r1 = i * block, (i + 1) * block
-        parts = []
-        if i:
-            parts.append(row_left)  # (..., block, r0)
-        parts.append(dinv[i])
-        if Sp - r1:
-            parts.append(jnp.zeros((*batch, block, Sp - r1), L.dtype))
-        return jnp.concatenate(parts, axis=-1)
-
-    rows = [full_row(0, None)]
-    for i in range(1, nb):
-        r0, r1 = i * block, (i + 1) * block
-        acc = None
-        for j in range(i):
-            Lij = L[..., r0:r1, j * block : (j + 1) * block]
-            contrib = jnp.einsum(
-                "...ij,...jk->...ik", Lij, rows[j][..., :r0], precision=_HIGHEST
-            )
-            acc = contrib if acc is None else acc + contrib
-        row_left = -jnp.einsum(
-            "...ij,...jk->...ik", dinv[i], acc, precision=_HIGHEST
-        )
-        rows.append(full_row(i, row_left))
-
-    X = jnp.concatenate(rows, axis=-2)
+    # shared contribution-accumulation row assembly (see _tri_inv_rows)
+    X = _tri_inv_rows(L, lambda i: dinv[i], nb, block, Sp, batch, L.dtype)
     return X[..., :S, :S]
 
 

@@ -210,20 +210,13 @@ def _chol_and_inv_impl(K, block_m=None):
         if d is not None:
             return chol_and_inv_blocked(K, d)
         # No friendly divisor: identity-pad to the next multiple of 128
-        # when the waste is small.  chol(blockdiag(K, I)) =
-        # blockdiag(chol K, I) and likewise for the inverse, so slicing
-        # the leading S x S blocks back out is EXACT (tested).
+        # when the waste is small (gpmath.linalg.pad_identity_tail —
+        # slicing the leading S x S blocks back out is EXACT, tested).
         Sp = -(-S // 128) * 128
         if Sp // 128 <= _MAX_BLOCKS and (Sp - S) / S <= _PAD_WASTE_LIMIT:
-            npad = Sp - S
-            batch = K.shape[:-2]
-            pad_width = [(0, 0)] * len(batch) + [(0, npad), (0, npad)]
-            tail = jnp.diag(
-                jnp.concatenate(
-                    [jnp.zeros((S,), K.dtype), jnp.ones((npad,), K.dtype)]
-                )
-            )
-            Lp, Xp = chol_and_inv_blocked(jnp.pad(K, pad_width) + tail, 128)
+            from vargp_tpu.gpmath.linalg import pad_identity_tail
+
+            Lp, Xp = chol_and_inv_blocked(pad_identity_tail(K, Sp), 128)
             return Lp[..., :S, :S], Xp[..., :S, :S]
     L = _diag_chol(K) if S <= 128 else jnp.linalg.cholesky(K)
     return L, tri_inv(L)
