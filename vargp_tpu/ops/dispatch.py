@@ -43,7 +43,7 @@ def get_backend() -> str:
 # ---------------------------------------------------------------------------
 
 
-def _sq_dist_xla(sx: jax.Array, sy: jax.Array) -> jax.Array:
+def _sq_dist_xla(sx: jax.Array, sy: jax.Array, precision=_HIGHEST) -> jax.Array:
     """Pairwise squared distances ||sx_i - sy_j||^2.
 
     sx: ... x M x D, sy: ... x N x D -> ... x M x N.  The cross term is the
@@ -51,14 +51,35 @@ def _sq_dist_xla(sx: jax.Array, sy: jax.Array) -> jax.Array:
     """
     xx = jnp.sum(jnp.square(sx), axis=-1)
     yy = jnp.sum(jnp.square(sy), axis=-1)
-    xy = jnp.einsum("...md,...nd->...mn", sx, sy, precision=_HIGHEST)
+    xy = jnp.einsum("...md,...nd->...mn", sx, sy, precision=precision)
     d2 = xx[..., :, None] - 2.0 * xy + yy[..., None, :]
     return jnp.maximum(d2, 0.0)
 
 
-def _rbf_gram_xla(sx, sy, gamma2):
+def _rbf_gram_xla(sx, sy, gamma2, precision=_HIGHEST):
     """gamma2 * exp(-0.5 ||sx_i - sy_j||^2); gamma2 broadcastable."""
-    return gamma2 * jnp.exp(-0.5 * _sq_dist_xla(sx, sy))
+    return gamma2 * jnp.exp(-0.5 * _sq_dist_xla(sx, sy, precision))
+
+
+def _resolve_precision(precision: str) -> jax.lax.Precision:
+    """Map the public precision string to a lax.Precision, loudly: a typo
+    silently degrading a factorized Gram to bf16x3 can defeat the PSD
+    jitter and surface as intermittent Cholesky NaNs far downstream."""
+    if precision == "highest":
+        return jax.lax.Precision.HIGHEST
+    if precision == "high":
+        return jax.lax.Precision.HIGH
+    raise ValueError(f"precision={precision!r}: expected 'highest' or 'high'")
+
+
+def _env_choice(name: str, valid: tuple, default: str) -> str:
+    """Read an env knob with the repo's loud-fail contract: an unknown
+    value must raise, never silently select a different compiled program
+    (same contract as VARGP_TPU_BWD_MATMUL / VARGP_TPU_AR_FORM)."""
+    v = os.environ.get(name, default)
+    if v not in valid:
+        raise ValueError(f"{name}={v!r}: expected one of {valid}")
+    return v
 
 
 # ---------------------------------------------------------------------------
@@ -79,9 +100,7 @@ def rbf_gram(sx: jax.Array, sy: jax.Array, gamma2: jax.Array,
     error can defeat the PSD jitter) or "high" (bf16x3, ~2x faster, fine
     for cross-Grams that are never factorized).
     """
-    prec = (
-        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.HIGH
-    )
+    prec = _resolve_precision(precision)
     # Mosaic only lowers DEFAULT/HIGHEST dot precisions; HIGH (bf16x3) Grams
     # go through XLA, whose fusion of the scale+dot+exp chain is fine.
     # Partition-enabled (multi-device) traces also route through
@@ -89,18 +108,23 @@ def rbf_gram(sx: jax.Array, sy: jax.Array, gamma2: jax.Array,
     # batch axes local — see ops/partition.py.
     from vargp_tpu.ops.partition import partition_enabled
 
-    if precision == "highest" and (get_backend() == "pallas" or partition_enabled()):
+    # The Pallas fast path assumes gamma2 is CONSTANT within each Gram
+    # block (a per-batch scalar shaped ... x 1 x 1 — every production call
+    # site); a genuinely per-row/per-column gamma2 takes the XLA chain
+    # below, which honors the full broadcast contract.
+    gamma2_scalar = gamma2.ndim >= 2 and gamma2.shape[-2:] == (1, 1)
+    if (
+        precision == "highest"
+        and gamma2_scalar
+        and (get_backend() == "pallas" or partition_enabled())
+    ):
         try:
             from vargp_tpu.ops.pallas.rbf_gram import rbf_gram_pallas
 
             return rbf_gram_pallas(sx, sy, gamma2, prec)
         except ImportError:
             pass
-    xx = jnp.sum(jnp.square(sx), axis=-1)
-    yy = jnp.sum(jnp.square(sy), axis=-1)
-    xy = jnp.einsum("...md,...nd->...mn", sx, sy, precision=prec)
-    d2 = jnp.maximum(xx[..., :, None] - 2.0 * xy + yy[..., None, :], 0.0)
-    return gamma2 * jnp.exp(-0.5 * d2)
+    return _rbf_gram_xla(sx, sy, gamma2, prec)
 
 
 def sym_gram(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
@@ -112,9 +136,7 @@ def sym_gram(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
     avoids the (H, O, M, D) pre-scaled broadcast the generic ``rbf_gram``
     path materializes (and its 128-row padding); elsewhere it lowers to
     the same einsum chain XLA already fuses."""
-    prec = (
-        jax.lax.Precision.HIGHEST if precision == "highest" else jax.lax.Precision.HIGH
-    )
+    prec = _resolve_precision(precision)
     from vargp_tpu.ops.partition import partition_enabled
 
     # Also route through sym_gram_pallas when kernel partitioning is on:
@@ -193,7 +215,7 @@ def _pick_block(S: int) -> int | None:
 
 
 def _chol_and_inv_impl(K, block_m=None):
-    if os.environ.get("VARGP_TPU_CHOLINV") == "pallas":
+    if _env_choice("VARGP_TPU_CHOLINV", ("xla", "pallas"), "xla") == "pallas":
         try:
             from vargp_tpu.ops.pallas.chol_inv import _chol_inv_call
 
@@ -236,7 +258,7 @@ def _tri_bwd_split(S: int) -> int | None:
     # order).  tri_half_split's k >= 512 gate keeps every production
     # parity protocol (k <= 300) on the bit-identical dense rule.
     # VARGP_TPU_TRI_BWD=0 reverts to the dense backward everywhere.
-    if os.environ.get("VARGP_TPU_TRI_BWD") == "0":
+    if _env_choice("VARGP_TPU_TRI_BWD", ("0", "1"), "1") == "0":
         return None
     from vargp_tpu.gpmath.linalg import tri_half_split
 
@@ -359,11 +381,10 @@ def batched_cholesky(K: jax.Array) -> jax.Array:
 
     Measured on TPU v5e (30 matrices of 300^2): XLA 0.027 ms vs the Pallas
     one-matrix-per-program kernel 0.049 ms — XLA's batched potrf is already
-    excellent in this regime, so it is the default; set
+    excellent in this regime, so it is the default ('auto' == 'xla', the
+    measured winner, matching what 'auto' means on every other knob); set
     VARGP_TPU_CHOLESKY=pallas to force the Pallas kernel."""
-    if os.environ.get("VARGP_TPU_CHOLESKY") == "pallas" or (
-        get_backend() == "pallas" and os.environ.get("VARGP_TPU_CHOLESKY") == "auto"
-    ):
+    if _env_choice("VARGP_TPU_CHOLESKY", ("auto", "xla", "pallas"), "auto") == "pallas":
         try:
             from vargp_tpu.ops.pallas.chol import cholesky_pallas
 

@@ -88,9 +88,9 @@ def cholesky_pallas(K: jax.Array, interpret: bool = False) -> jax.Array:
     G = Kb.shape[0]
     Sp = _round_up(max(S, BS), BS)
     if Sp != S:
-        eye_pad = jnp.eye(Sp, dtype=K.dtype)
-        Kp = jnp.zeros((G, Sp, Sp), K.dtype) + eye_pad[None]
-        Kp = Kp.at[:, :S, :S].set(Kb)
+        from vargp_tpu.gpmath.linalg import pad_identity_tail
+
+        Kp = pad_identity_tail(Kb, Sp)
     else:
         Kp = Kb
 

@@ -121,8 +121,9 @@ def _chol_inv_call(K: jax.Array, interpret: bool = False):
     G = Kb.shape[0]
     Sp = _round_up(max(S, BS), BS)
     if Sp != S:
-        Kp = jnp.zeros((G, Sp, Sp), K.dtype) + jnp.eye(Sp, dtype=K.dtype)
-        Kp = Kp.at[:, :S, :S].set(Kb)
+        from vargp_tpu.gpmath.linalg import pad_identity_tail
+
+        Kp = pad_identity_tail(Kb, Sp)
     else:
         Kp = Kb
 

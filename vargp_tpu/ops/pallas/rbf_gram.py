@@ -149,19 +149,8 @@ def _rbf_gram_fwd(sx, sy, gamma2, precision=jax.lax.Precision.HIGHEST):
     return K, (sx, sy, gamma2, K)
 
 
-def _sum_to_shape(x, shape):
-    """Reverse broadcasting: sum x down to ``shape``."""
-    extra = x.ndim - len(shape)
-    if extra:
-        x = jnp.sum(x, axis=tuple(range(extra)))
-    axes = tuple(i for i, s in enumerate(shape) if s == 1 and x.shape[i] != 1)
-    if axes:
-        x = jnp.sum(x, axis=axes, keepdims=True)
-    return x
-
-
 def _rbf_gram_bwd(precision, res, g):
-    from vargp_tpu.gpmath.linalg import _BWD
+    from vargp_tpu.gpmath.linalg import _BWD, _sum_to_shape
 
     sx, sy, gamma2, K = res
     W = g * K  # ... x M x N
@@ -203,26 +192,6 @@ rbf_gram_pallas.defvjp(_rbf_gram_fwd, _rbf_gram_bwd)
 #
 # Replaces the reference Kzz chain (var_gp/kernels.py:44-54 with x = y)
 # for the non-DKL model; kernels.rbf.gram remains the oracle (tested).
-
-
-def _make_sym_gram_kernel(precision):
-    def _kernel(zr_ref, zc_ref, inv_ref, g2_ref, out_ref):
-        inv = inv_ref[0, 0]  # (D,)
-        sx = zr_ref[0] * inv  # (TM, D)
-        sy = zc_ref[0] * inv  # (TN, D)
-        xx = jnp.sum(jnp.square(sx), axis=-1)[:, None]
-        yy = jnp.sum(jnp.square(sy), axis=-1)[None, :]
-        xy = jax.lax.dot_general(
-            sx,
-            sy,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=precision,
-        )
-        d2 = jnp.maximum(xx - 2.0 * xy + yy, 0.0)
-        out_ref[0, 0] = g2_ref[pl.program_id(0), 0] * jnp.exp(-0.5 * d2)
-
-    return _kernel
 
 
 def _make_sym_gram_whole_kernel(precision, R):
@@ -290,9 +259,10 @@ def _sym_gram_4d_tri(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
                      precision=jax.lax.Precision.HIGHEST,
                      interpret=False) -> jax.Array:
     """Triangle-skip whole-block symmetric Gram; same contract as
-    ``_sym_gram_4d``.  Opt-in via VARGP_TPU_SYMGRAM=tri until measured
-    faster on hardware (the mirror transposes trade VPU time for MXU
-    FLOPs; profitability is shape-dependent)."""
+    ``_sym_gram_4d``.  DEFAULT for M >= 512 since the 2026-08-18 hardware
+    A/B (1.3-1.6x fwd+bwd at M >= 1000; mixed-to-losing at M <= 300, so
+    shape-gated — see _sym_gram_impl).  VARGP_TPU_SYMGRAM=tri/whole
+    overrides the gate either way."""
     O, M, D = z.shape
     H = invs.shape[0]
     R = _round_up(M, 8)
@@ -529,8 +499,11 @@ def _sym_gram_impl(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
         # TPU v5e 2026-08-18) shows it 1.3-1.6x faster fwd+bwd at
         # M >= 1000 but mixed-to-losing at the flagship M=300 / M=128
         # shapes, so it is shape-gated.  VARGP_TPU_SYMGRAM=tri/whole
-        # overrides the gate either way.
-        mode = os.environ.get("VARGP_TPU_SYMGRAM")
+        # overrides the gate either way; unknown values raise (loud-fail
+        # env contract — ops.dispatch._env_choice).
+        from vargp_tpu.ops.dispatch import _env_choice
+
+        mode = _env_choice("VARGP_TPU_SYMGRAM", ("auto", "tri", "whole"), "auto")
         if mode == "tri" or (mode != "whole" and z.shape[-2] >= 512):
             return _sym_gram_4d_tri(z, invs, gamma2, precision)
         return _sym_gram_4d(z, invs, gamma2, precision)
