@@ -1,12 +1,13 @@
 #!/bin/bash
-# Post-mint TPU measurements (run AFTER scripts/r4_mint_continue.sh —
-# the TPU is exclusive).  Waits for the given PID (the mint watcher) to
-# exit, then records:
+# Post-mint TPU measurements (run AFTER the other TPU runners — the TPU
+# is exclusive).  Waits for the given PID to exit, then records:
 #   1. the notebook-budget eval pass under the fused cross-Gram kernel
 #      (RESULTS.md still carries the pre-kernel 99 ms figure),
 #   2. chain-reload T x T analysis wall times (VERDICT r3 weak #2 asked
 #      for these in RESULTS.md),
 #   3. a fresh flagship bench line.
+# NOTE: /usr/bin/time does not exist in this image — step timing uses
+# bash SECONDS (wall).
 set -u
 cd "$(dirname "$0")/.."
 L=/tmp/r4s
@@ -19,8 +20,9 @@ fi
 step() {
   name=$1; shift
   echo "=== $name: $* ($(date -u +%H:%M:%S)) ==="
-  /usr/bin/time -v "$@" > "$L/$name.log" 2> "$L/$name.time"
-  echo "=== $name exit $? ($(date -u +%H:%M:%S)) ==="
+  local t0=$SECONDS
+  "$@" > "$L/$name.log" 2>&1
+  echo "=== $name exit $? wall=$((SECONDS - t0))s ==="
 }
 
 step bench_eval python scripts/bench_eval.py
