@@ -38,6 +38,51 @@ def test_early_stopper_semantics():
     assert s2.info() == 0
 
 
+def test_early_stopper_lazy_payload():
+    """A callable payload is invoked only on improvement — plateaued evals
+    must not pay the snapshot cost."""
+    calls = []
+
+    def make(tag):
+        def thunk():
+            calls.append(tag)
+            return tag
+
+        return thunk
+
+    s = EarlyStopper(patience=5)
+    s(0.5, make("a"))
+    s(0.5, make("b"))  # no improvement: thunk must NOT run
+    s(0.7, make("c"))
+    assert calls == ["a", "c"]
+    assert s.info() == "c"
+
+
+def test_scanned_eval_poisons_on_nan():
+    """The scanned eval must surface NaN predictions as a NaN correct
+    count (argmax of all-NaN probs is a valid index, so the count alone
+    can never expose a diverged posterior)."""
+    from vargp_tpu.models import vargp as V
+    from vargp_tpu.train.loop import make_device_eval_fn
+
+    cfg = VARGPConfig(M=4, out_size=3, in_size=2, n_f=2, n_var_samples=1)
+    key = jax.random.key(0)
+    z = jax.random.normal(key, (cfg.out_size, cfg.M, cfg.in_size))
+    params, _ = V.init_params(key, z, cfg)
+    xs = jnp.zeros((2, 8, cfg.in_size))
+    ys = jnp.zeros((2, 8), jnp.int32)
+    ws = jnp.ones((2, 8))
+    chain_mask = jnp.ones((0,), jnp.float32)
+    eval_acc = make_device_eval_fn(cfg)
+
+    correct, total = eval_acc(params, (), chain_mask, xs, ys, ws, key)
+    assert np.isfinite(float(correct))
+
+    bad = params._replace(u_mean=params.u_mean * jnp.nan)
+    correct, total = eval_acc(bad, (), chain_mask, xs, ys, ws, key)
+    assert np.isnan(float(correct))
+
+
 def test_compute_bwt():
     m = np.array([[0.9, 0.0], [0.8, 0.95]])
     np.testing.assert_allclose(compute_bwt(m), 0.8 - 0.9)

@@ -28,7 +28,11 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None):
             process_id=process_id,
         )
     except (RuntimeError, ValueError) as e:
-        if "already initialized" in str(e).lower():
+        msg = str(e).lower()
+        # JAX's double-call message is "distributed.initialize should only
+        # be called once." (jax._src.distributed); older/other paths say
+        # "already initialized" — treat both as the documented no-op
+        if "already initialized" in msg or "only be called once" in msg:
             return
         if explicit:
             # an explicitly requested multi-process setup that fails must

@@ -104,20 +104,6 @@ def make_update_fn(cfg: V.VARGPConfig, tx, beta: float, n_train: int):
     return update
 
 
-def stack_epoch(ds: ArrayDataset, batch_size: int, rng) -> tuple:
-    """Materialize one shuffled epoch as stacked fixed-shape arrays."""
-    xs, ys, ws = [], [], []
-    for b in batch_iter(ds, batch_size, rng=rng):
-        xs.append(b.x)
-        ys.append(b.y)
-        ws.append(b.w)
-    return (
-        jnp.asarray(np.stack(xs)),
-        jnp.asarray(np.stack(ys)),
-        jnp.asarray(np.stack(ws)),
-    )
-
-
 def _train_tril_layout() -> str:
     """Packing layout used INSIDE scanned train blocks.  Default "filled"
     (gather-free unpack, gpmath.tril_from_filled; bit-exact vs rowmajor —
@@ -168,13 +154,9 @@ def make_device_train_fn(
     class-axis all-gather at the softmax.
     """
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from vargp_tpu.parallel.mesh import batch_shardings
 
-        batch_sh = (
-            NamedSharding(mesh, P("data", None)),
-            NamedSharding(mesh, P("data")),
-            NamedSharding(mesh, P("data")),
-        )
+        batch_sh = batch_shardings(mesh)
 
     # Inside the scanned block the packed scale factor rides in the
     # gather-free "filled" layout (gpmath.tril): the rowmajor<->filled
@@ -187,14 +169,24 @@ def make_device_train_fn(
     # trajectory is bit-exact vs the rowmajor path (tested).
     layout = _train_tril_layout()
     cfg_in = replace(cfg, tril_layout=layout) if layout != cfg.tril_layout else cfg
+    # boundary conversions fire only on an ACTUAL layout transition: params
+    # already stored in the block's layout (cfg.tril_layout == layout) must
+    # pass through untouched — permuting them again would scramble the
+    # packed factor (softplus applied to off-diagonal entries) silently
+    _entry_perm = _exit_perm = None
+    if cfg.tril_layout == "rowmajor" and layout == "filled":
+        _entry_perm = lambda v: gpmath.rowmajor_to_filled(v, cfg.M)
+        _exit_perm = lambda v: gpmath.filled_to_rowmajor(v, cfg.M)
+    elif cfg.tril_layout == "filled" and layout == "rowmajor":
+        _entry_perm = lambda v: gpmath.filled_to_rowmajor(v, cfg.M)
+        _exit_perm = lambda v: gpmath.rowmajor_to_filled(v, cfg.M)
 
     @partial(jax.jit, donate_argnums=(0, 1))
     def run(params, opt_state, prev, prior, chain_mask, n_train,
             data_x, data_y, data_w, key):
-        if layout == "filled":
-            to_filled = lambda v: gpmath.rowmajor_to_filled(v, cfg.M)
-            params = _map_u_tril_leaves(params, to_filled)
-            opt_state = _map_u_tril_leaves(opt_state, to_filled)
+        if _entry_perm is not None:
+            params = _map_u_tril_leaves(params, _entry_perm)
+            opt_state = _map_u_tril_leaves(opt_state, _entry_perm)
         n_pad = data_x.shape[0]
         steps_per_epoch = n_pad // batch_size
 
@@ -227,10 +219,9 @@ def make_device_train_fn(
         (params, opt_state), (losses, auxs) = jax.lax.scan(
             step, (params, opt_state), jnp.arange(n_epochs * steps_per_epoch)
         )
-        if layout == "filled":
-            to_rm = lambda v: gpmath.filled_to_rowmajor(v, cfg.M)
-            params = _map_u_tril_leaves(params, to_rm)
-            opt_state = _map_u_tril_leaves(opt_state, to_rm)
+        if _exit_perm is not None:
+            params = _map_u_tril_leaves(params, _exit_perm)
+            opt_state = _map_u_tril_leaves(opt_state, _exit_perm)
         return params, opt_state, losses[-1], jax.tree_util.tree_map(
             lambda a: a[-1], auxs
         )
@@ -273,13 +264,9 @@ def make_device_eval_fn(
     n_v = hp.eval_n_var_samples if hp else None
     resample = hp.eval_resample_per_batch if hp else False
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
+        from vargp_tpu.parallel.mesh import batch_shardings
 
-        batch_sh = (
-            NamedSharding(mesh, P("data", None)),
-            NamedSharding(mesh, P("data")),
-            NamedSharding(mesh, P("data")),
-        )
+        batch_sh = batch_shardings(mesh)
 
     from vargp_tpu.likelihoods import softmax_predict
 
@@ -294,7 +281,7 @@ def make_device_eval_fn(
             )
 
         def body(carry, batch):
-            i, correct = carry
+            i, correct, ok = carry
             x, y, w = batch
             if mesh is not None:
                 x, y, w = jax.lax.with_sharding_constraint((x, y, w), batch_sh)
@@ -311,9 +298,18 @@ def make_device_eval_fn(
                     jax.random.fold_in(k_lik, i), f_mean, f_var, n_f or cfg.n_f
                 )
             hits = (jnp.argmax(probs, axis=-1) == y).astype(jnp.float32) * w
-            return (i + 1, correct + jnp.sum(hits)), None
+            # argmax of all-NaN probs still yields a valid index, so a
+            # correct-count alone can never expose a diverged posterior
+            # (parity: train_utils.py:29 asserts on the probs themselves)
+            ok = ok & jnp.all(jnp.isfinite(probs))
+            return (i + 1, correct + jnp.sum(hits), ok), None
 
-        (_, correct), _ = jax.lax.scan(body, (0, 0.0), (xs, ys, ws))
+        (_, correct, ok), _ = jax.lax.scan(
+            body, (0, 0.0, jnp.bool_(True)), (xs, ys, ws)
+        )
+        # poison the count so the caller's isfinite assert trips on NaN
+        # predictions exactly like the non-scan path's compute_accuracy
+        correct = jnp.where(ok, correct, jnp.nan)
         return correct, jnp.sum(ws)
 
     return eval_acc
@@ -389,6 +385,10 @@ def train_task(
     over "data", everything else replicates.  The update math is identical
     (same elbo_step, same keys/permutations) — only placement changes.
     """
+    if hp.pad_tasks_to is not None and not hp.scan_epoch:
+        # reject at entry, not at the first eval — the late check used to
+        # fire only after a full eval_interval of (discarded) training
+        raise NotImplementedError("padded-chain mode requires scan_epoch=True")
     if mesh is not None:
         from vargp_tpu import parallel as _par
 
@@ -529,11 +529,6 @@ def train_task(
                 def pf(x, _k=k_ev):
                     return predict(params, prev, jnp.asarray(x), _k)
 
-                if hp.pad_tasks_to is not None:
-                    raise NotImplementedError(
-                        "padded-chain mode requires scan_epoch=True"
-                    )
-
                 train_acc = compute_accuracy(train_set, pf, hp.batch_size)
                 val_acc = compute_accuracy(val_set, pf, hp.batch_size)
                 test_acc = compute_accuracy(test_set, pf, hp.batch_size)
@@ -557,18 +552,19 @@ def train_task(
                     logger.add_scalar(k, v, step=epoch + 1)
 
             # snapshot: update() donates its params input buffers, so the
-            # stored best params must be an independent copy
-            params_snapshot = jax.tree_util.tree_map(jnp.copy, params)
+            # stored best params must be an independent copy — taken
+            # LAZILY (the stopper calls the thunk only on improvement, so
+            # plateaued evals skip the full-pytree device copy)
             stopper(
                 val_acc,
-                dict(
-                    params=params_snapshot,
+                lambda _p=params, _e=epoch, _t=train_acc, _v=val_acc, _s=test_acc: dict(
+                    params=jax.tree_util.tree_map(jnp.copy, _p),
                     acc_summary={
-                        f"task{task_id}/train/acc": train_acc,
-                        f"task{task_id}/val/acc": val_acc,
-                        f"task{task_id}/test/acc": test_acc,
+                        f"task{task_id}/train/acc": _t,
+                        f"task{task_id}/val/acc": _v,
+                        f"task{task_id}/test/acc": _s,
                     },
-                    step=epoch + 1,
+                    step=_e + 1,
                 ),
             )
             if stopper.is_done():

@@ -90,21 +90,34 @@ def make_device_train_fn_global(
     return run
 
 
-def make_device_eval_fn_global(cfg: G.GlobalSVGPConfig):
+def make_device_eval_fn_global(
+    cfg: G.GlobalSVGPConfig, hp: TrainHyperparams | None = None
+):
     """Scanned whole-dataset accuracy for the global model: all eval
-    batches in one dispatch (xs: (K, B, D), ys/ws: (K, B))."""
+    batches in one dispatch (xs: (K, B, D), ys/ws: (K, B)).  Honors
+    hp.eval_n_f / hp.eval_n_var_samples like the VARGP eval loop."""
+    n_f = hp.eval_n_f if hp else None
+    n_v = hp.eval_n_var_samples if hp else None
 
     @jax.jit
     def eval_acc(params, prev, xs, ys, ws, key):
         def body(carry, batch):
-            i, correct = carry
+            i, correct, ok = carry
             x, y, w = batch
-            probs = G.predict(params, prev, x, jax.random.fold_in(key, i), cfg)
+            probs = G.predict(
+                params, prev, x, jax.random.fold_in(key, i), cfg,
+                n_f=n_f, n_var_samples=n_v,
+            )
             hits = (jnp.argmax(probs, axis=-1) == y).astype(jnp.float32) * w
-            return (i + 1, correct + jnp.sum(hits)), None
+            # see train.loop.make_device_eval_fn: argmax of NaN probs is a
+            # valid index, so track finiteness explicitly
+            ok = ok & jnp.all(jnp.isfinite(probs))
+            return (i + 1, correct + jnp.sum(hits), ok), None
 
-        (_, correct), _ = jax.lax.scan(body, (0, 0.0), (xs, ys, ws))
-        return correct, jnp.sum(ws)
+        (_, correct, ok), _ = jax.lax.scan(
+            body, (0, 0.0, jnp.bool_(True)), (xs, ys, ws)
+        )
+        return jnp.where(ok, correct, jnp.nan), jnp.sum(ws)
 
     return eval_acc
 
@@ -161,7 +174,7 @@ def train_task(
                 )
             return _block_fns[n_epochs](*args)
 
-        eval_acc = make_device_eval_fn_global(cfg)
+        eval_acc = make_device_eval_fn_global(cfg, hp)
         eval_stacks = {
             "train": (
                 stack_eval_set(train_set, hp.batch_size, _eval_batches(hp, train_set)),
@@ -189,7 +202,10 @@ def train_task(
 
         @jax.jit
         def predict(p, x, k):
-            return G.predict(p, prev, x, k, cfg)
+            return G.predict(
+                p, prev, x, k, cfg,
+                n_f=hp.eval_n_f, n_var_samples=hp.eval_n_var_samples,
+            )
 
     stopper = EarlyStopper(patience=hp.patience)
     data_rng = np.random.default_rng(seed)
@@ -243,6 +259,11 @@ def train_task(
                     f"task{task_id}/test/acc": compute_accuracy(test_set, pf, hp.batch_size),
                 }
             klh, klu, upr, nll = (float(a) for a in aux)
+            if not all(np.isfinite(v) for v in (klh, klu, upr, nll)):
+                raise FloatingPointError(
+                    f"non-finite ELBO at epoch {epoch + 1}: "
+                    f"kl_hypers={klh} kl_u={klu} u_prev_reg={upr} nll={nll}"
+                )
             if logger is not None:
                 for k, v in {
                     f"task{task_id}/loss/kl_hypers": klh,
@@ -252,10 +273,13 @@ def train_task(
                     **accs,
                 }.items():
                     logger.add_scalar(k, v, step=epoch + 1)
-            snapshot = jax.tree_util.tree_map(jnp.copy, params)
+            # lazy snapshot: copied only when the stopper records a new best
             stopper(
                 accs[f"task{task_id}/val/acc"],
-                dict(params=snapshot, acc_summary=accs, step=epoch + 1),
+                lambda _p=params, _a=accs, _e=epoch: dict(
+                    params=jax.tree_util.tree_map(jnp.copy, _p),
+                    acc_summary=_a, step=_e + 1,
+                ),
             )
             if stopper.is_done():
                 break

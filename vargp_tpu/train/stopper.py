@@ -27,13 +27,14 @@ class EarlyStopper:
         return self._best_score
 
     def __call__(self, score: float, info) -> None:
+        """``info`` may be a callable (lazy payload): it is invoked only
+        when the score actually improves, so callers can defer expensive
+        snapshots (a full params-pytree device copy per eval) to the
+        improving evals only."""
         assert not self.is_done()
-        if self._best_score is None:
-            self._best_score = score
-            self._best_info = info
-        elif score < self._best_score + self.delta:
+        if self._best_score is not None and score < self._best_score + self.delta:
             self._counter += 1
-        else:
-            self._best_score = score
-            self._best_info = info
-            self._counter = 0
+            return
+        self._best_score = score
+        self._best_info = info() if callable(info) else info
+        self._counter = 0
