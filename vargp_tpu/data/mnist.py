@@ -59,7 +59,14 @@ def _find_idx(data_dir: str | None, train: bool):
 
 
 def mnist_available(data_dir: str | None = None) -> bool:
-    return _find_idx(data_dir, True) is not None
+    """True only when BOTH splits' IDX files are present: a host with only
+    train (or only t10k) files must not be treated as having real MNIST —
+    mixing a real train split with surrogate test data (or vice versa)
+    would mint garbage accuracies under a 'idx' provenance label."""
+    return (
+        _find_idx(data_dir, True) is not None
+        and _find_idx(data_dir, False) is not None
+    )
 
 
 import functools
@@ -180,6 +187,15 @@ def mnist_source(data_dir: str | None = None) -> str:
 def load_mnist(data_dir: str | None = None, train: bool = True) -> ArrayDataset:
     found = _find_idx(data_dir, train)
     if found is None:
+        if _find_idx(data_dir, not train) is not None:
+            # the OTHER split exists as real IDX: silently mixing real and
+            # surrogate splits poisons every accuracy downstream — refuse
+            raise FileNotFoundError(
+                f"MNIST IDX files found for the {'test' if train else 'train'} "
+                f"split but not the {'train' if train else 'test'} split — "
+                "refusing to mix real and synthetic data. Provide both "
+                "splits (or neither, to use the surrogate)."
+            )
         global _warned_synthetic
         if not _warned_synthetic:
             import warnings

@@ -22,9 +22,11 @@ def split_train_val(
     ds: ArrayDataset, n_val: int, rng: np.random.Generator
 ) -> tuple[ArrayDataset, ArrayDataset]:
     """Random train/val split (parity: experiments/vargp.py:122-125 —
-    10k-row validation split of MNIST train)."""
+    10k-row validation split of MNIST train).  n_val=0 means no validation
+    rows (idx[:-0] would instead empty the TRAIN set)."""
     idx = rng.permutation(len(ds))
-    return ds.select(idx[:-n_val]), ds.select(idx[-n_val:])
+    cut = len(idx) - n_val
+    return ds.select(idx[:cut]), ds.select(idx[cut:])
 
 
 def make_permutations(n_tasks: int, dim: int, rng: np.random.Generator):

@@ -174,7 +174,7 @@ def analyze_toy(
             gx, gy, probs, dataset=toy_all,
             out_path=os.path.join(log_dir, "toy_density.png"),
         )
-    except Exception:
+    except ImportError:
         pass
     print(json.dumps(summary))
     return summary
@@ -258,7 +258,7 @@ def analyze_toy_global(
             gx, gy, probs, dataset=toy_all,
             out_path=os.path.join(log_dir, "toy_density.png"),
         )
-    except Exception:
+    except ImportError:
         pass
     print(json.dumps(summary))
     return summary
@@ -334,14 +334,16 @@ def analyze_pmnist(
     data_dir=None,
     n_tasks: int = 10,
     M: int = 100,
-    seed: int = 42,
+    seed: int = 0,
     out_json: str | None = None,
     n_f: int = 50,
     n_var_samples: int = 20,
 ):
     """End-to-end Permuted-MNIST analysis: T x T accuracy/entropy matrices
     over the per-permutation test splits (seed must match the training run
-    so the permutations agree)."""
+    so the permutations agree — default 0 matches the p_mnist driver's
+    effective default `seed or 0`; analyzing with the wrong seed rebuilds
+    different permutations and yields near-chance off-diagonal cells)."""
     cfg = V.VARGPConfig(M=M, out_size=10, in_size=784)
     key = jax.random.key(0)
     z = jnp.zeros((cfg.out_size, cfg.M, cfg.in_size))
@@ -412,7 +414,7 @@ def analyze_sdigits(
         plot_inducing_images(
             chain[-1].z, os.path.join(log_dir, "inducing.png"), img_shape=(8, 8)
         )
-    except Exception:
+    except ImportError:
         pass
     print(json.dumps({k: v for k, v in summary.items() if "matrix" not in k}))
     return summary
@@ -450,7 +452,7 @@ def analyze_smnist(
         plot_inducing_images(
             chain[-1].z, os.path.join(log_dir, "inducing.png")
         )
-    except Exception:
+    except ImportError:
         pass
     print(json.dumps({k: v for k, v in summary.items() if "matrix" not in k}))
     return summary

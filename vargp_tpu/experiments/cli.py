@@ -76,8 +76,12 @@ def _parse_args(argv):
     args, kwargs = [], {}
     for a in argv:
         if a.startswith("--"):
-            k, _, v = a[2:].partition("=")
-            kwargs[k.replace("-", "_")] = _parse_value(v) if v else True
+            k, sep, v = a[2:].partition("=")
+            if sep and not v:
+                # `--log_dir=` would silently parse to True and fail far
+                # downstream (os.path.join(base, True)); reject here
+                raise SystemExit(f"empty value for --{k} (use --{k}=VALUE)")
+            kwargs[k.replace("-", "_")] = _parse_value(v) if sep else True
         else:
             args.append(_parse_value(a))
     return args, kwargs
@@ -99,7 +103,11 @@ def main(argv=None):
     args, kwargs = _parse_args(argv[1:])
     platform = kwargs.pop("platform", os.environ.get("VARGP_TPU_PLATFORM"))
     if platform:
-        _pin_platform(str(platform))
+        if not isinstance(platform, str) or platform is True:
+            # a bare `--platform` parses to True; pinning the backend to
+            # the string 'True' fails confusingly at first device use
+            raise SystemExit("--platform needs a value, e.g. --platform=cpu")
+        _pin_platform(platform)
     cmds[name](*args, **kwargs)
     return 0
 

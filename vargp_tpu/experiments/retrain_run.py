@@ -26,11 +26,16 @@ def toy(
     n_f=10, n_var_samples=3, seed=None, eval_interval=10, log_dir=None,
     n_tasks=2,
 ):
+    # dataset seed resolves like vargp_run.toy / toy_global (`seed or 0`)
+    # BEFORE randomization, so the retrain ablation trains on the SAME
+    # 4-cluster dataset the VAR-GP run it is compared against used (and
+    # that analyze_toy's density_retention scores, data_seed=0)
+    data_seed = seed or 0
     key, seed = seed_everything(seed)
     log_dir = log_dir or os.path.join(
         os.environ.get("VARGP_TPU_LOGDIR", "runs"), "toy_retrain"
     )
-    toy_all = data.make_toy_dataset(seed=seed)
+    toy_all = data.make_toy_dataset(seed=data_seed)
     cfg = R.RetrainConfig(
         M=M, out_size=4, in_size=2, n_f=n_f, n_var_samples=n_var_samples
     )
@@ -47,12 +52,15 @@ def toy(
             train_set = data.filter_by_class(toy_all, [2 * t, 2 * t + 1])
             seen = data.filter_by_class(toy_all, range(2 * t + 2))
 
-            key, k_task = jax.random.split(key)
+            # independent streams per consumer — reusing one key for the
+            # inducing selection, the init, and the training blocks would
+            # deterministically couple their randomness
+            key, k_sel, k_init, k_task = jax.random.split(key, 4)
             z_init = select_inducing(
-                k_task, jnp.asarray(train_set.data), cfg.M, cfg.out_size
+                k_sel, jnp.asarray(train_set.data), cfg.M, cfg.out_size
             )
             params, prior, frozen = R.init_params(
-                k_task, z_init, cfg, prev_chain=prev_raw,
+                k_init, z_init, cfg, prev_chain=prev_raw,
                 kernel_prior_from=kernel_prior_from,
             )
 

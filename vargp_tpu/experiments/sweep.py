@@ -70,10 +70,21 @@ def run_sweep(experiment="toy", n_trials=4, seed=0, spec=None, **overrides):
     space = spec or DEFAULT_SPACE
     rng = np.random.default_rng(seed)
     results = []
+    import inspect
+
+    accepted = set(inspect.signature(fn).parameters)
     for trial in range(n_trials):
         cfg = _sample(space, rng)
-        cfg = {k: v for k, v in cfg.items() if k in fn.__code__.co_varnames}
+        # filter on the actual signature — co_varnames includes every
+        # LOCAL variable of the driver, so a spec key named like one
+        # (e.g. 'hp', 'cfg') would pass the filter and crash at call time
+        cfg = {k: v for k, v in cfg.items() if k in accepted}
         cfg.update(overrides)
+        if "seed" in cfg:
+            raise ValueError(
+                "run_sweep assigns per-trial seeds itself (seed+trial); "
+                "pass the base via the seed= parameter, not overrides/spec"
+            )
         cfg["log_dir"] = os.path.join(
             os.environ.get("VARGP_TPU_LOGDIR", "runs"),
             f"sweep_{experiment}_{trial}",

@@ -76,12 +76,13 @@ def _run_task_stream(
             key, k_task = jax.random.split(key)
             ckpt_path = os.path.join(log_dir, f"ckpt{t}.npz")
             if resume and os.path.exists(ckpt_path):
-                from vargp_tpu.models.vargp import init_params, select_inducing
+                from vargp_tpu.models.vargp import init_params
                 from vargp_tpu.utils.checkpoint import load_pytree
 
-                z0 = select_inducing(
-                    k_task, jax.numpy.asarray(train_set.data), cfg.M, cfg.out_size
-                )
+                # shape template only — load_pytree overwrites every leaf,
+                # so skip the full-train-set inducing selection a real init
+                # would pay (analysis.load_task_chain uses the same trick)
+                z0 = jax.numpy.zeros((cfg.out_size, cfg.M, cfg.in_size))
                 template, _ = init_params(k_task, z0, cfg)
                 chain.append(load_pytree(ckpt_path, template))
                 summaries.append({})
@@ -330,10 +331,13 @@ def varying_m(
     with genuine accuracy-vs-M signal on this host).
 
     ``resume=True``: sweep points whose log dir already holds a completed
-    run (final-task ``test/acc_best`` in metrics.jsonl) are read back
-    instead of re-trained, and partially-completed points resume from
-    their checkpoint chain — a multi-hour 10-point sweep survives
-    interruption at the cost of the finished prefix's file reads."""
+    run OF THE SAME CONFIGURATION (sweep_point.json matches; final-task
+    ``test/acc_best`` in metrics.jsonl) are read back instead of
+    re-trained, and partially-completed points resume from their
+    checkpoint chain — a multi-hour 10-point sweep survives interruption
+    at the cost of the finished prefix's file reads.  A point minted under
+    a DIFFERENT config (e.g. a smoke run's --epochs=5 leftovers in the
+    same log dir) is re-run, never silently recorded."""
     import json
 
     if dataset not in ("s_mnist", "s_digits"):
@@ -342,8 +346,22 @@ def varying_m(
     results = {}
     for m in ms:
         m_dir = os.path.join(base, f"M{m}")
+        point_cfg = dict(
+            dataset=dataset, M=int(m), epochs=epochs, lr=lr,
+            batch_size=batch_size, beta=beta, seed=seed, patience=patience,
+            n_tasks=n_tasks,
+        )
+        stamp_path = os.path.join(m_dir, "sweep_point.json")
         if resume:
-            acc = _completed_sweep_acc(m_dir, n_tasks)
+            stamp = None
+            if os.path.exists(stamp_path):
+                with open(stamp_path) as f:
+                    stamp = json.load(f)
+            acc = (
+                _completed_sweep_acc(m_dir, n_tasks)
+                if stamp == point_cfg
+                else None
+            )
             if acc is not None:
                 results[int(m)] = float(acc)
                 print(f"[varying_m] M={m}: resumed, final test acc {acc:.4f}")
@@ -357,6 +375,9 @@ def varying_m(
             _, summaries = split_digits(**common)
         else:
             _, summaries = split_mnist(data_dir=data_dir, **common)
+        os.makedirs(m_dir, exist_ok=True)
+        with open(stamp_path, "w") as f:
+            json.dump(point_cfg, f, indent=2)
         final = summaries[-1] if summaries else {}
         acc = next(
             (v for k, v in final.items() if k.endswith("test/acc")), None
@@ -380,6 +401,6 @@ def varying_m(
         from vargp_tpu.experiments.plots import plot_accuracy_vs_m
 
         plot_accuracy_vs_m(results, out_path=os.path.join(base, "varying_M.png"))
-    except Exception:
+    except ImportError:
         pass
     return results
