@@ -58,9 +58,10 @@ def mlp_apply(params: MLPParams, x: jax.Array) -> jax.Array:
 
 
 def deep_gram(
-    phi: MLPParams, theta: jax.Array, x: jax.Array, y: jax.Array | None = None
+    phi: MLPParams, theta: jax.Array, x: jax.Array, y: jax.Array | None = None,
+    precision: str = "highest",
 ) -> jax.Array:
     """RBF Gram on MLP features (kernels.py:92-96)."""
     fx = mlp_apply(phi, x)
     fy = None if y is None else mlp_apply(phi, y)
-    return gram(theta, fx, fy)
+    return gram(theta, fx, fy, precision=precision)

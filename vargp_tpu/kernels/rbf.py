@@ -199,9 +199,9 @@ def cross_gram(theta: jax.Array, z: jax.Array, x: jax.Array,
     ``gram(theta, z, broadcast(x))`` (tested) with no per-class x
     materialization.  Default bf16x3: the cross-Gram is never factorized.
     """
-    from vargp_tpu.ops.dispatch import _resolve_precision
+    from vargp_tpu.ops.dispatch import resolve_precision
 
-    prec = _resolve_precision(precision)
+    prec = resolve_precision(precision)
     invs2 = jnp.exp(-2.0 * theta[:, :-1])  # (H, D)
     gamma2 = jnp.exp(2.0 * theta[:, -1])  # (H,)
     # x is data by contract: the hand VJP carries NO x cotangent, so make

@@ -189,13 +189,12 @@ def predict(
     """Predictive class probabilities.  Eval-time MC budgets (n_f,
     n_var_samples) can be overridden, matching VARGP's predict and the
     notebooks' protocol (mnist.ipynb cell 12)."""
-    if n_var_samples is not None and n_var_samples != cfg.n_var_samples:
-        from dataclasses import replace as _replace
+    from vargp_tpu.models.vargp import eval_budget_cfg
 
-        cfg = _replace(cfg, n_var_samples=n_var_samples)
+    cfg = eval_budget_cfg(cfg, n_f=n_f, n_var_samples=n_var_samples)
     k_fwd, k_lik = jax.random.split(key)
     mu, var, _ = forward(params, prev, x, k_fwd, cfg)
-    return softmax_predict(k_lik, mu, var, n_f or cfg.n_f)
+    return softmax_predict(k_lik, mu, var, cfg.n_f)
 
 
 def init_params(

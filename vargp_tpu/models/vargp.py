@@ -107,7 +107,10 @@ def _ar_form() -> str:
     assembly data movement at S=1000) or "materialized" (the explicit
     scale-factor construction — the block-LDL build at S >=
     _FAST_CHAIN_MIN_ROWS, the sequential fold below it).  Unknown values
-    raise — a typo must not silently change the compiled program."""
+    raise — a typo must not silently change the compiled program.  Read
+    (and validated) at TRACE time: already-compiled programs keep the form
+    they were traced with, so changing the env var mid-process requires a
+    fresh jit/trace to take effect (or to surface a typo)."""
     import os
 
     v = os.environ.get("VARGP_TPU_AR_FORM", "factored")
@@ -118,10 +121,36 @@ def _ar_form() -> str:
     return v
 
 
+def eval_budget_cfg(cfg, n_f: int | None = None, n_var_samples: int | None = None):
+    """Config with eval-time MC budgets overridden.  None means 'keep the
+    config value'; an explicit non-positive budget raises — `n_f or
+    cfg.n_f` would silently substitute the training default for 0, and
+    the logged budget would not be the budget that ran.  Shared by
+    vargp.predict and global_svgp.predict so the override semantics
+    cannot drift between the two."""
+    for name, v in (("n_f", n_f), ("n_var_samples", n_var_samples)):
+        if v is not None and v < 1:
+            raise ValueError(f"{name}={v}: eval MC budget must be >= 1")
+    if n_f is None and n_var_samples is None:
+        return cfg
+    from dataclasses import replace
+
+    return replace(
+        cfg,
+        n_f=cfg.n_f if n_f is None else n_f,
+        n_var_samples=(
+            cfg.n_var_samples if n_var_samples is None else n_var_samples
+        ),
+    )
+
+
 def _gram_fn(params: VARGPParams, cfg: VARGPConfig):
     if cfg.dkl:
+        # precision threads through (the DKL cross-Gram runs bf16x3 like
+        # the non-DKL one — accepting-and-dropping the kwarg silently ran
+        # it at 2x MXU cost)
         return lambda theta, x, y=None, precision="highest": deep_gram(
-            params.phi, theta, x, y
+            params.phi, theta, x, y, precision=precision
         )
     return gram
 
@@ -225,7 +254,8 @@ def build_posterior(
     """Sample theta and construct the AR joint posterior over the whole
     inducing chain (parity: vargp.py:127 + compute_q, :35-88)."""
     theta = sample_hypers(
-        key, params.kernel, n_var_samples or cfg.n_var_samples,
+        key, params.kernel,
+        eval_budget_cfg(cfg, n_var_samples=n_var_samples).n_var_samples,
         map_est=cfg.map_est_hypers,
     )
     gram_ = _gram_fn(params, cfg)
@@ -449,15 +479,7 @@ def predict(
     """Predictive class probabilities, (B, out_size) — parity vargp.py:196-198.
     Eval-time MC budgets (n_f, n_var_samples) can be overridden, matching the
     notebooks' protocol (mnist.ipynb cell 12: n_f=50+, n_var_samples=20)."""
-    cfg_eval = cfg
-    if n_f is not None or n_var_samples is not None:
-        from dataclasses import replace
-
-        cfg_eval = replace(
-            cfg,
-            n_f=n_f or cfg.n_f,
-            n_var_samples=n_var_samples or cfg.n_var_samples,
-        )
+    cfg_eval = eval_budget_cfg(cfg, n_f=n_f, n_var_samples=n_var_samples)
     k_fwd, k_lik = jax.random.split(key)
     out = forward(
         params, prev, default_prior(_theta_size(cfg_eval)), x, k_fwd, cfg_eval,

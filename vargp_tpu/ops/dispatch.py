@@ -61,7 +61,7 @@ def _rbf_gram_xla(sx, sy, gamma2, precision=_HIGHEST):
     return gamma2 * jnp.exp(-0.5 * _sq_dist_xla(sx, sy, precision))
 
 
-def _resolve_precision(precision: str) -> jax.lax.Precision:
+def resolve_precision(precision: str) -> jax.lax.Precision:
     """Map the public precision string to a lax.Precision, loudly: a typo
     silently degrading a factorized Gram to bf16x3 can defeat the PSD
     jitter and surface as intermittent Cholesky NaNs far downstream."""
@@ -100,7 +100,7 @@ def rbf_gram(sx: jax.Array, sy: jax.Array, gamma2: jax.Array,
     error can defeat the PSD jitter) or "high" (bf16x3, ~2x faster, fine
     for cross-Grams that are never factorized).
     """
-    prec = _resolve_precision(precision)
+    prec = resolve_precision(precision)
     # Mosaic only lowers DEFAULT/HIGHEST dot precisions; HIGH (bf16x3) Grams
     # go through XLA, whose fusion of the scale+dot+exp chain is fine.
     # Partition-enabled (multi-device) traces also route through
@@ -136,7 +136,7 @@ def sym_gram(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
     avoids the (H, O, M, D) pre-scaled broadcast the generic ``rbf_gram``
     path materializes (and its 128-row padding); elsewhere it lowers to
     the same einsum chain XLA already fuses."""
-    prec = _resolve_precision(precision)
+    prec = resolve_precision(precision)
     from vargp_tpu.ops.partition import partition_enabled
 
     # Also route through sym_gram_pallas when kernel partitioning is on:
