@@ -39,9 +39,16 @@ for e in tr["traceEvents"]:
         if e.get("name") == "thread_name": tnames[(e["pid"], e["tid"])] = e["args"].get("name","")
 dev = [p for p,n in pnames.items() if "/device:" in n][0]
 opstid = [t for (p,t),n in tnames.items() if p==dev and n=="XLA Ops"][0]
+import re
+# exclude control-flow region parents: the `while` op's slice SPANS its
+# body ops' slices (verified: 940 child events totaling 47.88 ms inside
+# while.6's 47.98 ms span), so summing both double-counts the scan body
+region = re.compile(r"^(while|conditional|call)(\.\d+)?$")
 cat = collections.Counter()
 for e in tr["traceEvents"]:
     if e.get("ph")=="X" and "dur" in e and e["pid"]==dev and e["tid"]==opstid:
+        if region.match(e["name"]):
+            continue
         cat[e.get("args",{}).get("tf_op","") or e["name"]] += e["dur"]
 total = sum(cat.values())
 print(f"total {total/N_ITERS/1000:.3f} ms/pass ({K} batches)")

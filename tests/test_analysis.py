@@ -136,6 +136,32 @@ def test_analyze_toy_global_density(tmp_path):
     assert os.path.exists(os.path.join(str(tmp_path), "toy_density.json"))
 
 
+def test_analyze_smnist_global_matrix(tmp_path):
+    """Global-baseline chain-reload T x T analysis — the matrix
+    compare_methods overlays against VAR-GP's (mnist.ipynb cells 6/15
+    protocol, single-global-posterior side): saved global checkpoints
+    reload and evaluate over per-task S-MNIST test splits."""
+    from vargp_tpu.models import global_svgp as G
+
+    key = jax.random.key(0)
+    cfg = G.GlobalSVGPConfig(M=4, out_size=10, in_size=784)
+    z0 = jnp.zeros((cfg.out_size, cfg.M, cfg.in_size))
+    for t in range(2):
+        params, _ = G.init_params(jax.random.fold_in(key, t), z0, cfg)
+        save_chain(str(tmp_path), t, params)
+
+    summary = analysis.analyze_smnist_global(
+        str(tmp_path), n_tasks=2, M=4, n_f=2, n_var_samples=2,
+        out_json=str(tmp_path / "analysis.json"),
+    )
+    acc = np.asarray(summary["acc_matrix"])
+    ent = np.asarray(summary["ent_matrix"])
+    assert acc.shape == (2, 2) and ent.shape == (2, 2)
+    assert np.all((acc >= 0.0) & (acc <= 1.0))
+    assert np.all(ent >= 0.0)
+    assert os.path.exists(tmp_path / "analysis.json")
+
+
 @pytest.mark.slow
 def test_dkl_training_runs(tmp_path):
     """Deep-kernel path end to end (warm-started phi across tasks)."""

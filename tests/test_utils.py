@@ -36,6 +36,35 @@ def test_parse_trace_empty(tmp_path):
     assert parse_trace(str(tmp_path)) == {}
 
 
+def test_parse_trace_excludes_region_parents(tmp_path):
+    """A `while` region op's slice spans its body ops' slices in the XLA
+    Ops row — parse_trace must not sum both (double-counts the scan
+    body; this inflated the eval-pass device numbers ~2x before r4)."""
+    import gzip
+    import json as _json
+
+    trace = {
+        "traceEvents": [
+            {"ph": "M", "pid": 1, "name": "process_name",
+             "args": {"name": "/device:TPU:0"}},
+            {"ph": "M", "pid": 1, "tid": 2, "name": "thread_name",
+             "args": {"name": "XLA Ops"}},
+            {"ph": "X", "pid": 1, "tid": 2, "name": "while.6",
+             "ts": 0, "dur": 100},
+            {"ph": "X", "pid": 1, "tid": 2, "name": "fusion.1",
+             "ts": 10, "dur": 40},
+            {"ph": "X", "pid": 1, "tid": 2, "name": "custom-call.2",
+             "ts": 60, "dur": 30},
+        ]
+    }
+    with gzip.open(tmp_path / "x.trace.json.gz", "wt") as f:
+        _json.dump(trace, f)
+    out = parse_trace(str(tmp_path))
+    assert "while.6" not in out
+    assert out["fusion.1"] == 0.04
+    assert out["custom-call.2"] == 0.03
+
+
 def test_checkpoint_roundtrip_and_structure_validation(tmp_path):
     """save_pytree stores path-keyed leaves; load_pytree round-trips and
     fails LOUDLY on a cfg mismatch (wrong M / dkl) instead of silently

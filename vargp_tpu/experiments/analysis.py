@@ -275,6 +275,82 @@ def summarize(acc: np.ndarray, ent: np.ndarray) -> dict:
     )
 
 
+def analyze_smnist_global(
+    log_dir: str,
+    data_dir=None,
+    n_tasks: int = 5,
+    M: int = 60,
+    grow_per_task: int = 0,
+    out_json: str | None = None,
+    n_f: int = 50,
+    n_var_samples: int = 20,
+    batch_size: int = 512,
+):
+    """Chain-reload T x T analysis for the global-SVGP S-MNIST baseline.
+
+    Same protocol as analyze_smnist (mnist.ipynb cell 12: per-task test
+    splits, notebook MC budgets) applied to the single-global-posterior
+    ablation: row t = the global posterior after task t — ckpt_t ALONE,
+    since global predict never conditions on earlier checkpoints
+    (models_global.py:228 analogue; see models/global_svgp.py) — column
+    s = task-s test split.  Produces the baseline matrix that
+    compare_methods overlays against VAR-GP's (the reference notebooks'
+    VCL/global comparison cells 6/15; upstream's own baseline artifacts
+    are LFS stubs)."""
+    from dataclasses import replace
+
+    from vargp_tpu.models import global_svgp as G
+    from vargp_tpu.utils.checkpoint import load_chain
+
+    key = jax.random.key(0)
+    cfgs, templates = [], []
+    for t in range(n_tasks):
+        cfg_t = G.GlobalSVGPConfig(
+            M=M + grow_per_task * t, out_size=10, in_size=784
+        )
+        z0 = jnp.zeros((cfg_t.out_size, cfg_t.M, cfg_t.in_size))
+        example, _ = G.init_params(key, z0, cfg_t)
+        cfgs.append(cfg_t)
+        templates.append(example)
+    chain = load_chain(log_dir, n_tasks, templates)
+
+    test_full = data.load_mnist(data_dir, train=False)
+    test_sets = [
+        data.filter_by_class(test_full, [2 * t, 2 * t + 1])
+        for t in range(n_tasks)
+    ]
+
+    predict_jit = jax.jit(G.predict, static_argnames="cfg")
+    acc = np.zeros((n_tasks, n_tasks))
+    ent = np.zeros((n_tasks, n_tasks))
+    for t in range(n_tasks):
+        cfg_eval = replace(cfgs[t], n_f=n_f, n_var_samples=n_var_samples)
+        for s, test_set in enumerate(test_sets):
+            key, k = jax.random.split(key)
+            a, e = compute_acc_ent(
+                test_set,
+                lambda x: predict_jit(
+                    chain[t], None, jnp.asarray(x), k, cfg_eval
+                ),
+                batch_size=batch_size,
+            )
+            acc[t, s] = a
+            ent[t, s] = e / np.log(cfg_eval.out_size)
+
+    summary = summarize(acc, ent)
+    out_json = out_json or os.path.join(log_dir, "analysis.json")
+    with open(out_json, "w") as f:
+        json.dump(summary, f, indent=2)
+    try:
+        from vargp_tpu.experiments.plots import plot_matrices
+
+        plot_matrices(acc, ent, os.path.join(log_dir, "matrices.png"))
+    except ImportError:
+        pass
+    print(json.dumps({k: v for k, v in summary.items() if "matrix" not in k}))
+    return summary
+
+
 def compare_methods(
     ours: "np.ndarray | str",
     baselines: dict[str, "np.ndarray | str"],

@@ -57,6 +57,7 @@ def _commands():
         "analyze_sdigits": analysis.analyze_sdigits,
         "analyze_toy": analysis.analyze_toy,
         "analyze_toy_global": analysis.analyze_toy_global,
+        "analyze_smnist_global": analysis.analyze_smnist_global,
         # reference: mnist.ipynb VCL-comparison cells (external baselines)
         "compare_methods": analysis.compare_methods,
         # reference: experiments/wandb_utils.py sweep generator

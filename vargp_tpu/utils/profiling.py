@@ -12,8 +12,12 @@ import glob
 import gzip
 import json
 import os
+import re
 import tempfile
 from contextlib import contextmanager
+
+# XLA control-flow region ops whose timeline slice spans their body's ops
+_REGION_OP_RE = re.compile(r"^(while|conditional|call)(\.\d+)?$")
 
 
 @contextmanager
@@ -39,6 +43,15 @@ def parse_trace(log_dir: str) -> dict[str, float]:
     Steps / XLA Modules rows that span the same wall time — summing every
     "X" event over-counts by >10x (this bug skewed round-1 kernel
     microbenchmarks; see ROADMAP item 2).
+
+    Control-flow REGION ops (`while.N` / `conditional.N` / `call.N`) are
+    excluded: within the XLA Ops row their slice SPANS the loop body's
+    per-op slices (a (K)-batch `lax.scan` emits one `while` event
+    containing every body op event), so summing both counts the entire
+    body twice.  This inflated the round-2..4 eval-pass device numbers
+    ~2x (the train-step traces were unaffected — their scan bodies are
+    single-step blocks whose while parent carried no double-counted
+    children of consequence; wall-clock cross-checks matched).
     """
     files = sorted(
         glob.glob(os.path.join(log_dir, "**", "*.trace.json.gz"), recursive=True)
@@ -65,7 +78,7 @@ def parse_trace(log_dir: str) -> dict[str, float]:
             if pid not in device_pids or e.get("tid") != op_tids.get(pid):
                 continue
             name = e.get("name", "?")
-            if name.startswith("$"):
+            if name.startswith("$") or _REGION_OP_RE.match(name):
                 continue
             durations[name] += e["dur"]
     return {k: v / 1000.0 for k, v in durations.items()}
