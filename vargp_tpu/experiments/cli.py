@@ -96,6 +96,12 @@ def main(argv=None):
         for name, fn in cmds.items():
             sig = inspect.signature(fn)
             print(f"  {name}{sig}")
+        print(
+            "\nglobal flags: --platform=cpu|tpu (pin backend);"
+            " --coordinator_address=HOST:PORT --num_processes=N"
+            " --process_id=I (join a multi-process jax.distributed job —"
+            " combine with --n_devices over the global device set)"
+        )
         return 0
     name = argv[0]
     if name not in cmds:
@@ -109,6 +115,21 @@ def main(argv=None):
             # the string 'True' fails confusingly at first device use
             raise SystemExit("--platform needs a value, e.g. --platform=cpu")
         _pin_platform(platform)
+    # multi-process launch (pod / multi-host): every worker runs the SAME
+    # command with its own --process_id; jax.distributed joins them and
+    # --n_devices then builds the mesh over the job's GLOBAL device set
+    # (checkpoint/metrics writes are process-0-gated in the drivers)
+    coord = kwargs.pop("coordinator_address", None)
+    nproc = kwargs.pop("num_processes", None)
+    procid = kwargs.pop("process_id", None)
+    if coord is not None or nproc is not None or procid is not None:
+        from vargp_tpu.parallel.distributed import initialize
+
+        initialize(
+            coordinator_address=coord,
+            num_processes=None if nproc is None else int(nproc),
+            process_id=None if procid is None else int(procid),
+        )
     cmds[name](*args, **kwargs)
     return 0
 

@@ -94,8 +94,18 @@ def _run_task_stream(
                 ls_init=ls_init, shared=shared, mesh=mesh,
             )
             chain.append(params)
+            # COLLECTIVE (all processes): under multi-process
+            # jax.distributed a model-sharded leaf's shards live on other
+            # hosts, so the lead's np conversion would raise — all-gather
+            # to host first, then the write itself is lead-gated
+            if mesh is not None:
+                from vargp_tpu import parallel
+
+                to_save = parallel.unshard_to_host(params, mesh)
+            else:
+                to_save = params
             if is_lead:
-                save_chain(log_dir, t, params)
+                save_chain(log_dir, t, to_save)
             summaries.append(info.get("acc_summary", {}))
             print(
                 f"[{name}] task {t}: "

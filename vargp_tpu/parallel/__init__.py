@@ -16,6 +16,7 @@ from vargp_tpu.parallel.mesh import (
     shard_params,
     shard_batch,
     replicate,
+    unshard_to_host,
 )
 from vargp_tpu.parallel.train_step import (
     make_sharded_update_fn,
@@ -30,6 +31,7 @@ __all__ = [
     "shard_params",
     "shard_batch",
     "replicate",
+    "unshard_to_host",
     "make_sharded_update_fn",
     "make_sharded_device_train_fn",
     "make_sharded_predict_fn",

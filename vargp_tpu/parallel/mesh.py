@@ -68,21 +68,65 @@ def batch_shardings(mesh: Mesh):
     )
 
 
+def _global_put(leaf, sh: NamedSharding):
+    """Place one leaf under ``sh``, multi-process safe.
+
+    ``jax.device_put`` rejects shardings that span non-addressable devices
+    (other hosts in a jax.distributed job).  The supported recipes, by
+    leaf kind:
+      - already a global jax.Array with remote shards -> jit identity
+        with out_shardings (inserts the reshard collective);
+      - PRNG key array -> unwrap to raw uint32 (key_data), place that,
+        re-wrap (make_array_from_callback can't see extended dtypes);
+      - host value / process-local array -> make_array_from_callback,
+        every process contributing its addressable shards from the SAME
+        host value (the drivers guarantee identical values per process:
+        same seeds, same dataset construction).
+    """
+    if sh.is_fully_addressable:
+        return jax.device_put(leaf, sh)
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        return jax.jit(lambda x: x, out_shardings=sh)(leaf)
+    if isinstance(leaf, jax.Array) and jax.dtypes.issubdtype(
+        leaf.dtype, jax.dtypes.prng_key
+    ):
+        raw = np.asarray(jax.random.key_data(leaf))
+        raw_sh = NamedSharding(sh.mesh, P(*sh.spec, *([None] * (raw.ndim - leaf.ndim))))
+        raw_g = jax.make_array_from_callback(raw.shape, raw_sh, lambda i: raw[i])
+        return jax.random.wrap_key_data(raw_g, impl=jax.random.key_impl(leaf))
+    arr = np.asarray(leaf)
+    return jax.make_array_from_callback(arr.shape, sh, lambda i: arr[i])
+
+
 def shard_params(tree, mesh: Mesh, out_size: int):
-    return jax.device_put(tree, infer_param_shardings(tree, mesh, out_size))
+    return jax.tree_util.tree_map(
+        _global_put, tree, infer_param_shardings(tree, mesh, out_size)
+    )
 
 
 def shard_batch(x, y, w, mesh: Mesh):
     sx, sy, sw = batch_shardings(mesh)
-    return (
-        jax.device_put(x, sx),
-        jax.device_put(y, sy),
-        jax.device_put(w, sw),
-    )
+    return (_global_put(x, sx), _global_put(y, sy), _global_put(w, sw))
 
 
 def replicate(tree, mesh: Mesh):
     """Place every leaf fully replicated over the mesh (datasets, scalars,
     PRNG keys — anything without a shardable leading axis)."""
     sh = NamedSharding(mesh, P())
-    return jax.tree_util.tree_map(lambda leaf: jax.device_put(leaf, sh), tree)
+    return jax.tree_util.tree_map(lambda leaf: _global_put(leaf, sh), tree)
+
+
+def unshard_to_host(tree, mesh: Mesh):
+    """Gather a (possibly cross-process) sharded pytree to identical host
+    (numpy) copies on every process.
+
+    ``np.asarray`` on a model/data-sharded leaf raises under multi-process
+    ``jax.distributed`` — its non-addressable shards live on other hosts.
+    A jit identity with fully-replicated out_shardings inserts the
+    all-gather; afterwards every process holds every leaf locally and the
+    host fetch is pure-local.  COLLECTIVE: every process in the job must
+    call this (the lead-gated checkpoint write happens after, host-side).
+    """
+    sh = jax.tree_util.tree_map(lambda _: NamedSharding(mesh, P()), tree)
+    gathered = jax.jit(lambda t: t, out_shardings=sh)(tree)
+    return jax.device_get(gathered)
