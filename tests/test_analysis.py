@@ -220,6 +220,39 @@ def test_compare_methods_external_baselines(tmp_path):
     assert os.path.getsize(tmp_path / "cmp.png") > 0
 
 
+def test_compare_vcl_overlay(tmp_path):
+    """The minted VCL-overlay driver (mnist.ipynb cells 6/19): our curves
+    from analyze_* matrices, VCL curves from the external constants, one
+    JSON + figure per dataset, provenance recorded."""
+    import json as _json
+    import os
+
+    import numpy as np
+
+    from vargp_tpu.experiments.analysis import compare_vcl
+
+    rng = np.random.default_rng(0)
+    sm = tmp_path / "sm.json"
+    pm = tmp_path / "pm.json"
+    sm.write_text(
+        _json.dumps({"acc_matrix": np.tril(0.95 + 0.05 * rng.random((5, 5))).tolist()})
+    )
+    pm.write_text(
+        _json.dumps({"acc_matrix": np.tril(0.95 + 0.05 * rng.random((10, 10))).tolist()})
+    )
+    out = compare_vcl(str(sm), str(pm), out_dir=str(tmp_path / "cmp"))
+    assert "approximate digitization" in out["provenance_vcl"]
+    for name, t in (("smnist", 5), ("pmnist", 10)):
+        curves = out[name]["curves"]
+        ours = curves["VAR-GP (ours, minted)"]
+        assert len(ours) == t
+        # every VCL curve has the right length and ends below ours here
+        vcls = [v for k, v in curves.items() if k.startswith("vcl")]
+        assert vcls and all(len(v) == t for v in vcls)
+        assert os.path.getsize(tmp_path / "cmp" / f"vcl_overlay_{name}.png") > 0
+    assert os.path.getsize(tmp_path / "cmp" / "vcl_overlay.json") > 0
+
+
 def test_toy_density_retention_minted_artifact():
     """Numeric-grid regression on the COMMITTED toy deliverable
     (results/toy_full, full 5000-epoch budget — the quantitative form of

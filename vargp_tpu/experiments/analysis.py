@@ -390,6 +390,53 @@ def compare_methods(
     return out
 
 
+def compare_vcl(
+    smnist_json: str = "results/smnist_r4/analysis.json",
+    pmnist_json: str = "results/pmnist_r4/analysis.json",
+    out_dir: str = "results/compare",
+) -> dict:
+    """The notebooks' VCL-comparison overlay as a minted artifact
+    (mnist.ipynb cells 6/19: avg-accuracy-after-task curves, VAR-GP vs
+    VCL+coreset variants).
+
+    Our curves come from minted analyze_* matrices; the VCL curves are
+    external constants (experiments/external_baselines.py — approximate
+    digitizations of arXiv:2006.05468 figures; upstream's own baseline
+    CSVs are git-LFS stubs).  Writes comparison JSON + one figure per
+    dataset under ``out_dir``."""
+    from vargp_tpu.experiments import external_baselines as ext
+    from vargp_tpu.experiments.plots import plot_method_comparison
+
+    os.makedirs(out_dir, exist_ok=True)
+    out = {"provenance_vcl": ext.PROVENANCE}
+    for name, ours_json, vcl in (
+        ("smnist", smnist_json, ext.VCL_SMNIST),
+        ("pmnist", pmnist_json, ext.VCL_PMNIST),
+    ):
+        if not os.path.exists(ours_json):
+            print(f"[compare_vcl] {name}: {ours_json} missing, skipped")
+            continue
+        m = _load_acc_matrix(ours_json)
+        ours = [float(np.mean(m[i, : i + 1])) for i in range(m.shape[0])]
+        curves = {"VAR-GP (ours, minted)": ours}
+        curves.update(
+            {f"{k} (paper, approx)": list(map(float, v)) for k, v in vcl.items()}
+        )
+        plot_method_comparison(
+            curves, os.path.join(out_dir, f"vcl_overlay_{name}.png")
+        )
+        out[name] = dict(
+            curves=curves,
+            final={k: v[-1] for k, v in curves.items()},
+            ours_source=ours_json,
+        )
+    path = os.path.join(out_dir, "vcl_overlay.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: v["final"] for k, v in out.items() if isinstance(v, dict)}))
+    return out
+
+
 def _load_acc_matrix(src) -> np.ndarray:
     if isinstance(src, str):
         if src.endswith(".json"):

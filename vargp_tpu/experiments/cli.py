@@ -60,6 +60,7 @@ def _commands():
         "analyze_smnist_global": analysis.analyze_smnist_global,
         # reference: mnist.ipynb VCL-comparison cells (external baselines)
         "compare_methods": analysis.compare_methods,
+        "compare_vcl": analysis.compare_vcl,
         # reference: experiments/wandb_utils.py sweep generator
         "gen_sweep": sweep.generate_vargp_sweep,
         "run_sweep": sweep.run_sweep,
