@@ -118,6 +118,19 @@ def main():
     metric = "smnist_task4_elbo_steps_per_sec"
     if platform != "tpu":
         metric += f"_{platform}_fallback"  # tunnel down: NOT a TPU number
+
+    # The north-star's second metric (BASELINE.json): achieved TFLOP/s.
+    # Audit the EXACT dispatched block's jaxpr (trace-only, no device work)
+    # and divide by the measured step time.  pct_matmul_peak weighs each
+    # precision class by its own v5e roofline (HIGHEST ~33, HIGH ~65 TF/s).
+    from vargp_tpu.utils import flops as F
+
+    one_step = make_device_train_fn(cfg, tx, hp.beta, batch_size=x.shape[0], n_epochs=1)
+    summary, _, _ = F.audit(
+        lambda *a: one_step(*a),
+        params, opt_state, prev, prior, chain_mask, n_train, x, y, w, key,
+    )
+    ach = F.achieved(summary, dt)
     print(
         json.dumps(
             dict(
@@ -125,6 +138,11 @@ def main():
                 value=round(steps_per_sec, 2),
                 unit="steps/s",
                 vs_baseline=round(steps_per_sec / baseline, 1),
+                tflops=round(ach["tflops"], 2),
+                pct_matmul_peak=round(ach["pct_matmul_peak"], 1),
+                pct_sol=round(ach["pct_sol"], 1),
+                sol_ms=round(summary["sol_ms"], 3),
+                step_ms=round(dt * 1e3, 3),
             )
         )
     )

@@ -175,6 +175,25 @@ def test_diag_chol_pallas_t_interpret():
     np.testing.assert_allclose(L, np.linalg.cholesky(K), atol=2e-5)
 
 
+@pytest.mark.slow
+def test_diag_chol_pallas_t_gridded(monkeypatch):
+    """The batch-gridded route (G > GB): the kernel body compiles at a
+    fixed GB-wide tile and a Pallas grid sweeps the batch — the fix for
+    the Mosaic compile time scaling with G (658.9 s at the G=200 eval
+    batch, scripts/compile_probe.py).  GB is patched small so interpret
+    mode exercises >1 grid step plus the identity-pad remainder tile
+    without the monolithic test's 20 s/4-matrix cost ballooning."""
+    from vargp_tpu.ops.pallas import chol_panel
+
+    monkeypatch.setattr(chol_panel, "GB", 2)
+    rng = np.random.default_rng(9)
+    A = rng.standard_normal((5, 128, 128)).astype(np.float32)
+    K = A @ A.transpose(0, 2, 1) / 128 + 2.0 * np.eye(128, dtype=np.float32)
+    # G=5 > GB=2: three grid steps, last one padded with an identity tail
+    L = np.asarray(chol_panel.diag_chol_pallas_t(jnp.asarray(K), interpret=True))
+    np.testing.assert_allclose(L, np.linalg.cholesky(K), atol=2e-5)
+
+
 def test_diag_chol_pad_path_exact():
     """_diag_chol's identity-pad route: chol(blockdiag(K, I)) slices back
     to chol(K) EXACTLY (no approximation in the padding trick)."""

@@ -108,6 +108,12 @@ def main(argv=None):
     if name not in cmds:
         print(f"unknown command {name!r}; run with --help")
         return 1
+    # persistent XLA compile cache: reruns of the same protocol skip the
+    # multi-minute eval-predictor compile (VARGP_TPU_COMPILE_CACHE=off to
+    # disable; see utils/compile_cache.py)
+    from vargp_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args, kwargs = _parse_args(argv[1:])
     platform = kwargs.pop("platform", os.environ.get("VARGP_TPU_PLATFORM"))
     if platform:

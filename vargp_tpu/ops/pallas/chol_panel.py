@@ -239,6 +239,18 @@ def _diag_chol_t_kernel(a_ref, out_ref, lt_ref):
     out_ref[...] = jnp.swapaxes(lt_ref[...], -1, -2)
 
 
+# Batch tile for the gridded variant.  The kernel body's instruction count
+# scales with its batch extent (every op is (G, ...)-wide and the 128
+# column steps are statically unrolled), so MOSAIC COMPILE TIME scales
+# with G too: the monolithic form is fine at train batches (G ~ 30) but
+# is a multi-minute compile bomb at eval batches (G = n_hypers*out = 200
+# at notebook budgets — the dominant term of the analysis pipeline's
+# ~615 s predictor compile, scripts/compile_probe.py).  Above GB the
+# batch moves to a Pallas grid: the body compiles once at G = GB and the
+# grid sweeps the rest, making compile time shape-independent.
+GB = 32
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def diag_chol_pallas_t(K: jax.Array, interpret: bool = False) -> jax.Array:
     """Batched lower Cholesky of (..., 128, 128) SPD blocks via the v3
@@ -247,23 +259,52 @@ def diag_chol_pallas_t(K: jax.Array, interpret: bool = False) -> jax.Array:
     assert K.shape[-1] == BS and K.shape[-2] == BS, K.shape
     Kb = K.reshape(-1, BS, BS).astype(jnp.float32)
     G = Kb.shape[0]
-    out = pl.pallas_call(
-        _diag_chol_t_kernel,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((G, BS, BS), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((G, BS, BS), jnp.float32)],
-        cost_estimate=pl.CostEstimate(
-            flops=G * BS * BS * BS // 3,
-            bytes_accessed=2 * 4 * G * BS * BS,
-            transcendentals=G * BS,
-        ),
+    common = dict(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=(64 * 1024 * 1024) if not interpret else None
         ),
         interpret=interpret,
+    )
+    if G <= GB:
+        # monolithic whole-batch program — the measured-optimal production
+        # path at train shapes (0.048 ms per (30,128,128) on v5e)
+        out = pl.pallas_call(
+            _diag_chol_t_kernel,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((G, BS, BS), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((G, BS, BS), jnp.float32)],
+            cost_estimate=pl.CostEstimate(
+                flops=G * BS * BS * BS // 3,
+                bytes_accessed=2 * 4 * G * BS * BS,
+                transcendentals=G * BS,
+            ),
+            **common,
+        )(Kb)
+        return out.reshape(*batch, BS, BS).astype(K.dtype)
+    # gridded: pad the batch with identity matrices (chol(I) = I, the
+    # slice-back is exact) up to a GB multiple and sweep GB-wide tiles
+    Gp = -(-G // GB) * GB
+    if Gp != G:
+        pad = jnp.broadcast_to(
+            jnp.eye(BS, dtype=jnp.float32), (Gp - G, BS, BS)
+        )
+        Kb = jnp.concatenate([Kb, pad], axis=0)
+    out = pl.pallas_call(
+        _diag_chol_t_kernel,
+        grid=(Gp // GB,),
+        in_specs=[pl.BlockSpec((GB, BS, BS), lambda i: (i, 0, 0))],
+        out_specs=pl.BlockSpec((GB, BS, BS), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((Gp, BS, BS), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((GB, BS, BS), jnp.float32)],
+        cost_estimate=pl.CostEstimate(
+            flops=Gp * BS * BS * BS // 3,
+            bytes_accessed=2 * 4 * Gp * BS * BS,
+            transcendentals=Gp * BS,
+        ),
+        **common,
     )(Kb)
-    return out.reshape(*batch, BS, BS).astype(K.dtype)
+    return out[:G].reshape(*batch, BS, BS).astype(K.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "unrolled"))
