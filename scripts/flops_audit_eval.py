@@ -8,8 +8,10 @@ experiment, so structural waste here multiplies across the deliverable
 runs.  Usage: python scripts/flops_audit_eval.py [flagship|m1024]
 """
 
-import sys, os; sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-import collections
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp
@@ -18,7 +20,7 @@ jax.config.update("jax_platforms", "cpu")
 
 import __graft_entry__ as g
 from vargp_tpu.train.loop import TrainHyperparams, make_device_eval_fn
-from flops_audit import walk, HIGHEST_TFLOPS, HIGH_TFLOPS, HBM
+from vargp_tpu.utils import flops as F
 
 
 def main(mode="flagship"):
@@ -31,26 +33,21 @@ def main(mode="flagship"):
     ys = jnp.broadcast_to(y, (K,) + y.shape)
     ws = jnp.broadcast_to(w, (K,) + w.shape)
     cm = jnp.ones((len(prev),), jnp.float32)
-    closed = jax.make_jaxpr(lambda *a: eval_acc(*a))(
-        params, prev, cm, xs, ys, ws, key)
-
-    dots = collections.Counter()
-    moves = collections.Counter()
-    walk(closed.jaxpr, 1.0, dots, moves)
-    tot = {}
+    summary, dots, moves = F.audit(
+        lambda *a: eval_acc(*a), params, prev, cm, xs, ys, ws, key
+    )
     print(f"== eval {mode} (K={K} batches/dispatch): top dot_generals ==")
-    for ((ls, rs), p), fl in sorted(dots.items(), key=lambda kv: -kv[1]):
-        tot[p] = tot.get(p, 0.0) + fl
     for ((ls, rs), p), fl in sorted(dots.items(), key=lambda kv: -kv[1])[:15]:
         print(f"  {fl/1e9:9.2f} GFLOP  {p:8s} {ls} x {rs}")
-    gH = tot.get("HIGHEST", 0.0)
-    gh = tot.get("HIGH", 0.0) + tot.get("DEFAULT", 0.0)
-    mv = sum(moves.values())
-    print(f"\ntotals: HIGHEST {gH/1e9:.1f} GFLOP, HIGH+DEFAULT {gh/1e9:.1f}; "
-          f"movement {mv/1e6:.1f} MB")
+    print(
+        f"\ntotals: HIGHEST {summary['gflop_highest']:.1f} GFLOP, "
+        f"HIGH+DEFAULT {summary['gflop_high'] + summary['gflop_default']:.1f}; "
+        f"movement {summary['movement_mb']:.1f} MB"
+    )
     print("movement by op:", {k: f"{v/1e6:.0f}MB" for k, v in moves.most_common(8)})
-    sol = gH / HIGHEST_TFLOPS + gh / HIGH_TFLOPS + mv / HBM
-    print(f"speed-of-light (matmul+movement only): {sol*1e3:.2f} ms per dispatch")
+    print(
+        f"speed-of-light (matmul+movement only): {summary['sol_ms']:.2f} ms per dispatch"
+    )
 
 
 if __name__ == "__main__":
