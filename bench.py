@@ -73,6 +73,12 @@ def _ensure_backend() -> str:
 def main():
     platform = _ensure_backend()
 
+    # persistent XLA compile cache: the 100-step block is a multi-minute
+    # first compile through the tunnel; cached reruns start in seconds
+    from vargp_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax
     import jax.numpy as jnp
 

@@ -186,3 +186,68 @@ def test_train_tril_layout_env_validation(monkeypatch):
     monkeypatch.setenv("VARGP_TPU_TRIL_LAYOUT", "rowmajour")  # typo
     with pytest.raises(ValueError, match="VARGP_TPU_TRIL_LAYOUT"):
         _train_tril_layout()
+
+
+def test_phi_optimizer_group():
+    """DKL ablation knobs: default opt_state structure is unchanged; with
+    phi knobs set, phi gets its own lr/decay and set_phi_update_scale(0)
+    freezes ONLY phi — a runtime value, so no recompile between tasks."""
+    import optax
+
+    from vargp_tpu.models import vargp as V
+    from vargp_tpu.train.loop import make_optimizer, set_phi_update_scale
+
+    key = jax.random.PRNGKey(0)
+    z = jax.random.normal(key, (10, 8, 64))
+    cfg = VARGPConfig(
+        M=8, out_size=10, in_size=64, n_f=4, n_var_samples=2, dkl=True
+    )
+    params, _ = V.init_params(key, z, cfg)
+
+    # default path: exact optax.yogi structure (checkpoint compatibility)
+    tx0 = make_optimizer(TrainHyperparams(lr=3e-3))
+    assert jax.tree_util.tree_structure(
+        tx0.init(params)
+    ) == jax.tree_util.tree_structure(optax.yogi(3e-3).init(params))
+
+    hp = TrainHyperparams(
+        lr=3e-3, phi_lr=3e-4, phi_weight_decay=1e-2,
+        freeze_phi_after_first=True,
+    )
+    tx = make_optimizer(hp)
+    state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    up, _ = tx.update(grads, state, params)
+    assert float(jnp.abs(up.phi.weights[0]).max()) > 0
+    assert float(jnp.abs(up.u_mean).max()) > 0
+
+    frozen = set_phi_update_scale(state, 0.0)
+    upf, _ = tx.update(grads, frozen, params)
+    assert float(jnp.abs(upf.phi.weights[0]).max()) == 0.0
+    assert float(jnp.abs(upf.phi.biases[-1]).max()) == 0.0
+    # non-phi updates unchanged by the freeze
+    np.testing.assert_allclose(
+        np.asarray(upf.u_mean), np.asarray(up.u_mean), rtol=0, atol=0
+    )
+
+
+def test_phi_freeze_after_first_in_train_task():
+    """freeze_phi_after_first: task 1 trains with phi bit-identical to its
+    task-0 warm start while the variational params still move."""
+    key = jax.random.PRNGKey(0)
+    toy = data.make_toy_dataset(seed=0)
+    sets = [data.filter_by_class(toy, [2 * t, 2 * t + 1]) for t in range(2)]
+    cfg = VARGPConfig(
+        M=4, out_size=4, in_size=2, n_f=3, n_var_samples=2, dkl=True
+    )
+    hp = TrainHyperparams(
+        epochs=4, lr=1e-2, batch_size=32, eval_interval=4, patience=10,
+        freeze_phi_after_first=True,
+    )
+    p0, _ = train_task(key, 0, sets[0], sets[0], sets[0], cfg, hp, seed=0)
+    p1, _ = train_task(
+        key, 1, sets[1], sets[1], sets[1], cfg, hp, prev_chain=[p0], seed=0
+    )
+    for w0, w1 in zip(p0.phi.weights, p1.phi.weights):
+        np.testing.assert_array_equal(np.asarray(w0), np.asarray(w1))
+    assert not np.array_equal(np.asarray(p0.u_mean), np.asarray(p1.u_mean))

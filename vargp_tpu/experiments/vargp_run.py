@@ -202,11 +202,16 @@ def split_digits(
     dkl=False, seed=None, eval_interval=10, patience=20, log_dir=None,
     n_tasks=5, ls_init=None, resume=False, eval_resample_per_batch=False,
     n_devices=None, model_parallel=None,
+    phi_lr=None, phi_wd=0.0, freeze_phi=False,
 ):
     """Split-Digits: the Split-MNIST protocol (experiments/vargp.py:107-141)
     on sklearn's REAL 8x8 handwritten digits — runnable on zero-egress
     hosts, small enough for direct torch-reference parity runs
-    (scripts/ref_digits.py)."""
+    (scripts/ref_digits.py).
+
+    ``phi_lr``/``phi_wd``/``freeze_phi`` are the DKL stability-ablation
+    knobs (no effect unless --dkl): separate feature-map lr, decoupled
+    weight decay, and freeze-phi-after-task-0."""
     rng = np.random.default_rng(seed or 0)
     train_full = data.load_digits_dataset(train=True, seed=0)
     test_full = data.load_digits_dataset(train=False, seed=0)
@@ -240,6 +245,9 @@ def split_digits(
         pad_tasks_to=n_tasks, pad_data_rows=max(batch_size, max_train),
         pad_eval_batches=-(-max_eval_rows // batch_size),
         eval_resample_per_batch=bool(eval_resample_per_batch),
+        phi_lr=None if phi_lr is None else float(phi_lr),
+        phi_weight_decay=float(phi_wd),
+        freeze_phi_after_first=bool(freeze_phi),
     )
     return _run_task_stream(
         "s_digits", tasks(), cfg, hp, seed, log_dir, ls_init=ls_init,

@@ -12,7 +12,7 @@ padded batches; params/opt_state donated; PRNG keys threaded host-side.
 import time
 from dataclasses import dataclass, replace
 from functools import partial
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -55,14 +55,100 @@ class TrainHyperparams:
     # posterior across the whole eval scan — same MC estimator, one
     # Gram+Cholesky per dataset instead of per batch
     eval_resample_per_batch: bool = False
+    # DKL feature-map (phi) optimizer group: separate peak lr (None = hp.lr),
+    # decoupled weight decay, and freeze-after-first-task (tasks > 0 train
+    # with phi update scale 0 — a runtime value in opt_state, so the padded-
+    # chain one-compile property is preserved).  The reference trains phi
+    # with the single shared optimizer (vargp.py:219-235); these knobs exist
+    # for the DKL stability ablation (no effect unless set).
+    phi_lr: float | None = None
+    phi_weight_decay: float = 0.0
+    freeze_phi_after_first: bool = False
+
+
+class PhiScaleState(NamedTuple):
+    """Runtime multiplier on phi updates (1.0 = train, 0.0 = frozen)."""
+
+    scale: jax.Array
+
+
+def _phi_update_scale() -> optax.GradientTransformation:
+    """Final transform scaling phi updates by a value carried in opt_state.
+
+    The scale is data, not program: flipping it between tasks (see
+    set_phi_update_scale) does not recompile the shared train block."""
+
+    def init(params):
+        del params
+        return PhiScaleState(scale=jnp.asarray(1.0, jnp.float32))
+
+    def update(updates, state, params=None):
+        del params
+        phi = getattr(updates, "phi", None)
+        if phi is not None:
+            updates = updates._replace(
+                phi=jax.tree_util.tree_map(lambda u: u * state.scale, phi)
+            )
+        return updates, state
+
+    return optax.GradientTransformation(init, update)
+
+
+def set_phi_update_scale(opt_state, value: float):
+    """Return opt_state with every PhiScaleState set to ``value``."""
+    return jax.tree_util.tree_map(
+        lambda s: PhiScaleState(scale=jnp.full_like(s.scale, value))
+        if isinstance(s, PhiScaleState)
+        else s,
+        opt_state,
+        is_leaf=lambda s: isinstance(s, PhiScaleState),
+    )
+
+
+def _phi_mask(params):
+    """Boolean pytree marking the DKL feature-map leaves."""
+    mask = jax.tree_util.tree_map(lambda _: False, params)
+    phi = getattr(params, "phi", None)
+    if phi is not None:
+        mask = mask._replace(
+            phi=jax.tree_util.tree_map(lambda _: True, phi)
+        )
+    return mask
 
 
 def make_optimizer(hp: TrainHyperparams) -> optax.GradientTransformation:
     if hp.optimizer == "yogi":
-        return optax.yogi(hp.lr)
-    if hp.optimizer == "adam":
+        inner = optax.scale_by_yogi()
+    elif hp.optimizer == "adam":
+        inner = optax.scale_by_adam()
+    else:
+        raise ValueError(f"unknown optimizer {hp.optimizer!r}")
+    phi_grouped = (
+        hp.phi_lr is not None
+        or hp.phi_weight_decay
+        or hp.freeze_phi_after_first
+    )
+    if not phi_grouped:
+        # exact historical path (optax.yogi/adam == scale_by_* + lr); kept
+        # so default opt_state structures match existing checkpoints
+        if hp.optimizer == "yogi":
+            return optax.yogi(hp.lr)
         return optax.adam(hp.lr)
-    raise ValueError(f"unknown optimizer {hp.optimizer!r}")
+    parts = [inner]
+    if hp.phi_weight_decay:
+        # decoupled (AdamW-style): applied after the preconditioner,
+        # before the lr scaling, phi leaves only
+        parts.append(
+            optax.masked(
+                optax.add_decayed_weights(hp.phi_weight_decay), _phi_mask
+            )
+        )
+    parts.append(optax.scale_by_learning_rate(hp.lr))
+    if hp.phi_lr is not None and hp.phi_lr != hp.lr:
+        parts.append(optax.masked(optax.scale(hp.phi_lr / hp.lr), _phi_mask))
+    if hp.freeze_phi_after_first:
+        parts.append(_phi_update_scale())
+    return optax.chain(*parts)
 
 
 def elbo_step(
@@ -433,7 +519,10 @@ def train_task(
     prior = _repl(prior)
 
     tx = shared.setdefault("tx", make_optimizer(hp))
-    opt_state = _shard(tx.init(params))
+    opt_state = tx.init(params)
+    if hp.freeze_phi_after_first and cfg.dkl and task_id > 0:
+        opt_state = set_phi_update_scale(opt_state, 0.0)
+    opt_state = _shard(opt_state)
     n_train = _repl(jnp.asarray(float(len(train_set))))
     if hp.scan_epoch:
         # dataset lives on device; shuffle/batch/update all inside one
