@@ -117,3 +117,30 @@ def test_audit_runs_on_production_train_block():
     )
     assert total > 0 and np.isfinite(total)
     assert summary["sol_ms"] > 0
+
+
+def test_pallas_cost_estimate_counted():
+    """pallas_call FLOPs come from the kernel's advertised cost_estimate
+    (own PALLAS bucket, HIGH roofline in the SoL sum); the kernel BODY is
+    not walked (that would double-count one tile's dots at the wrong
+    multiplicity)."""
+    from jax.experimental import pallas as pl
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[...] * 2.0
+
+    def f(x):
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            cost_estimate=pl.CostEstimate(
+                flops=12345, bytes_accessed=0, transcendentals=0
+            ),
+        )(x)
+
+    summary, dots, _ = F.audit(f, jnp.zeros((8, 128)))
+    assert summary["gflop_pallas"] == pytest.approx(12345 / 1e9)
+    assert summary["gflop_default"] == 0.0
+    assert summary["sol_ms"] == pytest.approx(12345 / F.HIGH_TFLOPS * 1e3)
+    ach = F.achieved(summary, 1e-3)
+    assert ach["tflops"] == pytest.approx(12345 / 1e9 / 1e-3 / 1e3)

@@ -748,3 +748,62 @@ def test_ar_joint_posterior_factored_heterogeneous_batch():
         np.asarray(gpmath.mm(L, fac.v)),
         np.asarray(fast.mean), rtol=1e-4, atol=1e-5,
     )
+
+
+def test_tri3_and_rows2_blocks_bitwise_match_plain_slices():
+    """tri3_blocks/rows2_blocks/_diag_blocks: forward AND gradients are
+    bitwise-equal to plain static slices — the hand VJPs only replace the
+    T summed full-matrix pad cotangents with one fused assembly."""
+    import numpy as np
+
+    from vargp_tpu.gpmath.conditional import _diag_blocks
+    from vargp_tpu.gpmath.linalg import rows2_blocks, tri3_blocks
+
+    key = jax.random.PRNGKey(3)
+    k, h = 20, 8
+    A = jax.random.normal(key, (3, 2, k, k))
+    co = jax.random.normal(jax.random.PRNGKey(4), (3, 2, k, k))
+
+    def plain3(A):
+        return A[..., :h, :h], A[..., h:, :h], A[..., h:, h:]
+
+    outs_new = tri3_blocks(A, h)
+    outs_old = plain3(A)
+    for n, o in zip(outs_new, outs_old):
+        np.testing.assert_array_equal(np.asarray(n), np.asarray(o))
+
+    def loss_of(split):
+        def f(A):
+            a, b, c = split(A)
+            return jnp.sum(
+                jnp.square(a) * co[..., :h, :h]
+            ) + jnp.sum(b * co[..., h:, :h]) + jnp.sum(jnp.exp(c * 0.1))
+        return f
+
+    g_new = jax.grad(loss_of(lambda A: tri3_blocks(A, h)))(A)
+    g_old = jax.grad(loss_of(plain3))(A)
+    np.testing.assert_array_equal(np.asarray(g_new), np.asarray(g_old))
+
+    # rows2
+    W = jax.random.normal(key, (3, k, 5))
+    f_new = lambda W: sum(jnp.sum(jnp.square(p)) for p in rows2_blocks(W, h))
+    f_old = lambda W: jnp.sum(jnp.square(W[..., :h, :])) + jnp.sum(
+        jnp.square(W[..., h:, :])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.grad(f_new)(W)), np.asarray(jax.grad(f_old)(W))
+    )
+
+    # _diag_blocks (T diagonal M-blocks)
+    T, M = 4, 5
+    B = jax.random.normal(key, (2, T * M, T * M))
+    def plain_diag(B):
+        return jnp.stack(
+            [B[..., t * M : (t + 1) * M, t * M : (t + 1) * M] for t in range(T)],
+            axis=-3,
+        )
+    fd_new = lambda B: jnp.sum(jnp.square(_diag_blocks(B, T, M)))
+    fd_old = lambda B: jnp.sum(jnp.square(plain_diag(B)))
+    np.testing.assert_array_equal(
+        np.asarray(jax.grad(fd_new)(B)), np.asarray(jax.grad(fd_old)(B))
+    )

@@ -31,6 +31,8 @@ from vargp_tpu.gpmath.linalg import (
     mm,
     mtm,
     mmt,
+    rows2_blocks,
+    tri3_blocks,
 )
 from vargp_tpu.gpmath.mvn import (
     mvn_kl,

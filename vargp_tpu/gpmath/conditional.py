@@ -23,6 +23,7 @@ Two API levels:
    MXU-friendly kernel instead of many small ones.
 """
 
+import functools
 from typing import NamedTuple, Sequence
 
 import jax
@@ -35,6 +36,8 @@ from vargp_tpu.gpmath.linalg import (
     mm_h,
     mtm,
     mtm_h,
+    rows2_blocks,
+    tri3_blocks,
     tri_half_split,
     tri_solve,
 )
@@ -189,6 +192,39 @@ def ar_joint_posterior(
     return ARPosterior(mean=mean, LS=LS)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _diag_blocks(A: jax.Array, T: int, M: int) -> jax.Array:
+    """Diagonal M-blocks of ``A``: (..., T*M, T*M) -> (..., T, M, M).
+
+    Forward: static slices + stack (cheap strided reads).  Backward: the AD
+    transpose of those slices is T full-matrix pads summed pairwise —
+    T x 120 MB of HBM writes per step at the S=1000 chain (jaxpr movement
+    audit, scripts/flops_audit.py).  The hand VJP materializes the same
+    block-diagonal cotangent ONCE via an eye-mask broadcast-multiply whose
+    (..., T, M, T, M) product reshapes straight to (..., S, S) in row-major
+    order.  Exact: entries are g*1 on the diagonal blocks and g*0 = +0.0
+    elsewhere, matching pad's zero fill.
+    """
+    return jnp.stack(
+        [A[..., t * M : (t + 1) * M, t * M : (t + 1) * M] for t in range(T)],
+        axis=-3,
+    )
+
+
+def _diag_blocks_fwd(A, T, M):
+    return _diag_blocks(A, T, M), None
+
+
+def _diag_blocks_bwd(T, M, _res, g):
+    eye = jnp.eye(T, dtype=g.dtype)
+    big = eye[:, None, :, None] * g[..., :, :, None, :]
+    dA = big.reshape(*g.shape[:-3], T * M, T * M)
+    return (dA,)
+
+
+_diag_blocks.defvjp(_diag_blocks_fwd, _diag_blocks_bwd)
+
+
 def ar_joint_posterior_fast(
     L_full: jax.Array,
     L_inv: jax.Array,
@@ -239,13 +275,9 @@ def ar_joint_posterior_fast(
     Lb_full = jnp.broadcast_to(L_full, (*batch, S, S))
     Li_full = jnp.broadcast_to(L_inv, (*batch, S, S))
 
-    # diagonal M-blocks of L^{-1}: (T, *batch, M, M).  Static slices +
-    # stack, NOT advanced indexing — the gather's AD transpose is a
-    # 120 MB scatter-add at the S=1000 chain (flops_audit attribution);
-    # slice cotangents are pads, which XLA fuses.
-    Dinv = jnp.stack(
-        [Li_full[..., t * M : (t + 1) * M, t * M : (t + 1) * M] for t in range(T)]
-    )
+    # diagonal M-blocks of L^{-1} (T, *batch, M, M): _diag_blocks' hand VJP
+    # builds the block-diagonal cotangent in one materialization
+    Dinv = jnp.moveaxis(_diag_blocks(Li_full, T, M), -3, 0)
 
     w = mm_h(Dinv, ut)
     v = mm_h(Dinv, um)
@@ -326,12 +358,9 @@ def ar_joint_posterior_factored(
     ut = jnp.stack(
         [jnp.broadcast_to(u, (*ut_b, M, M)) for u in u_trils], axis=-3
     )
-    # diagonal M-blocks of L^{-1}: static slices + stack (slice cotangents
-    # are pads — no scatter in the backward; same trick as the fast path)
-    Dinv = jnp.stack(
-        [L_inv[..., t * M : (t + 1) * M, t * M : (t + 1) * M] for t in range(T)],
-        axis=-3,
-    )
+    # diagonal M-blocks of L^{-1}: _diag_blocks' hand VJP replaces the T
+    # full-matrix pad cotangents with one fused block-diagonal build
+    Dinv = _diag_blocks(L_inv, T, M)
     w = mm_h(Dinv, ut)  # (..., T, M, M)
     v = mm_h(Dinv, um)  # (..., T, M, 1)
 
@@ -412,12 +441,14 @@ def whitened_marginal_diag(
             # — half + a quarter of those two dots' FLOPs at M >= 512.
             # Shape-gated: parity protocols (M <= 300) are untouched.
             # diag2 only; the epilogue below is shared with every branch.
-            a1, a2, a3 = L_inv[..., :h, :h], L_inv[..., h:, :h], L_inv[..., h:, h:]
-            s1, s2, s3 = LS[..., :h, :h], LS[..., h:, :h], LS[..., h:, h:]
+            # tri3_blocks/rows2_blocks: hand VJPs assemble each cotangent
+            # once (vs per-slice full pads summed — movement audit)
+            a1, a2, a3 = tri3_blocks(L_inv, h)
+            s1, s2, s3 = tri3_blocks(LS, h)
             M11 = mm_h(a1, s1)
             M21 = mm_h(a2, s1) + mm_h(a3, s2)
             M22 = mm_h(a3, s3)
-            W1, W2 = W[..., :h, :], W[..., h:, :]
+            W1, W2 = rows2_blocks(W, h)
             Ctop = mtm_h(M11, W1) + mtm_h(M21, W2)
             Cbot = mtm_h(M22, W2)
             diag2 = jnp.sum(jnp.square(Ctop), axis=-2) + jnp.sum(

@@ -317,6 +317,56 @@ def tri_half_split(k: int) -> int | None:
     return h if k - h >= 128 else None
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def tri3_blocks(A: jax.Array, h: int):
+    """2x2 lower-block-triangular split: (..., k, k) -> (A11, A21, A22).
+
+    Forward: three static slices (cheap strided reads).  Backward: the AD
+    transpose of those slices is three full (k, k) pads summed pairwise —
+    at k=1024 that is 3 x 126 MB of HBM writes per matrix per step
+    (movement audit, scripts/flops_audit.py).  The hand VJP assembles the
+    cotangent [[g11, 0], [g21, g22]] with two concatenates — ONE (k, k)
+    materialization.  Exact: every element is one cotangent value or the
+    same +0.0 fill pad would write."""
+    return A[..., :h, :h], A[..., h:, :h], A[..., h:, h:]
+
+
+def _tri3_blocks_fwd(A, h):
+    return tri3_blocks(A, h), None
+
+
+def _tri3_blocks_bwd(h, _res, gs):
+    # cotangent batch/dtype == the slices' == A's (slices don't broadcast)
+    g11, g21, g22 = gs
+    k = h + g21.shape[-2]
+    zeros = jnp.zeros((*g11.shape[:-1], k - h), g11.dtype)
+    top = jnp.concatenate([g11, zeros], axis=-1)
+    bot = jnp.concatenate([g21, g22], axis=-1)
+    return (jnp.concatenate([top, bot], axis=-2),)
+
+
+tri3_blocks.defvjp(_tri3_blocks_fwd, _tri3_blocks_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def rows2_blocks(A: jax.Array, h: int):
+    """Contiguous 2-way row split: (..., k, c) -> (A[:h], A[h:]) with a
+    single-concatenate cotangent (vs two full pads summed)."""
+    return A[..., :h, :], A[..., h:, :]
+
+
+def _rows2_blocks_fwd(A, h):
+    return rows2_blocks(A, h), None
+
+
+def _rows2_blocks_bwd(h, _res, gs):
+    g1, g2 = gs
+    return (jnp.concatenate([g1, g2], axis=-2),)
+
+
+rows2_blocks.defvjp(_rows2_blocks_fwd, _rows2_blocks_bwd)
+
+
 # ---------------------------------------------------------------------------
 # Mixed-precision matmuls: f32 forward, bf16x3 backward (see _BWD above)
 # ---------------------------------------------------------------------------

@@ -13,7 +13,7 @@ import math
 import jax
 import jax.numpy as jnp
 
-from vargp_tpu.gpmath.linalg import mm, tri_half_split, tri_solve, _HIGHEST
+from vargp_tpu.gpmath.linalg import mm, tri3_blocks, tri_half_split, tri_solve, _HIGHEST
 
 
 def _log_diag(L: jax.Array) -> jax.Array:
@@ -52,8 +52,10 @@ def mvn_kl(
         # never needs the assembled matrix.  Shape-gated to k >= 512:
         # every parity protocol runs k <= 300, so their trajectories are
         # bit-identical.
-        a1, a2, a3 = Lp_inv[..., :h, :h], Lp_inv[..., h:, :h], Lp_inv[..., h:, h:]
-        b1, b2, b3 = Lq_b[..., :h, :h], Lq_b[..., h:, :h], Lq_b[..., h:, h:]
+        # tri3_blocks' hand VJP assembles each matrix's cotangent once
+        # (vs three full pads summed — the movement audit's top m1024 term)
+        a1, a2, a3 = tri3_blocks(Lp_inv, h)
+        b1, b2, b3 = tri3_blocks(Lq_b, h)
         trace = (
             jnp.sum(jnp.square(mm(a1, b1)), axis=(-2, -1))
             + jnp.sum(jnp.square(mm(a2, b1) + mm(a3, b2)), axis=(-2, -1))

@@ -376,6 +376,9 @@ def forward(
 
     if prev:
         c = cp.z_all.shape[-2] - cfg.M
+        # plain slices, NOT tri3_blocks: only 1-2 of the 3 blocks are live
+        # per branch here, and a dead slice costs nothing while the fused
+        # cotangent build would materialize its zeros (measured by audit)
         L11 = L[..., :c, :c]
         L21 = L[..., c:, :c]
         L22 = L[..., c:, c:]  # == chol of p(u_t | u_{<t}, theta) covariance

@@ -60,6 +60,19 @@ def walk(jaxpr, mult, dots, moves):
             prec = eqn.params.get("precision")
             p = prec[0].name if prec else "DEFAULT"
             dots[(shapes, p)] += fl * mult
+        elif name == "pallas_call":
+            # custom kernels advertise their work via cost_estimate; count
+            # them in their own bucket (every production kernel runs its
+            # matmuls bf16x3 or f32-VPU — billed at the HIGH roofline in
+            # the SoL sum, the optimistic choice) so TPU-path audits don't
+            # silently drop the Pallas ops' FLOPs
+            ce = eqn.params.get("cost_estimate")
+            if ce is not None and getattr(ce, "flops", 0):
+                shapes = tuple(
+                    tuple(v.aval.shape) for v in eqn.invars[:2]
+                )
+                dots[((shapes, ()), "PALLAS")] += ce.flops * mult
+            continue
         elif name in MOVE_OPS:
             moves[name] += sum(_aval_bytes(v.aval) for v in eqn.outvars) * mult
         for sub in eqn.params.values():
@@ -92,12 +105,18 @@ def audit(fn, *args):
     for ((_, _), p), fl in dots.items():
         tot[p] += fl
     g_hst, g_h, g_d = tot["HIGHEST"], tot["HIGH"], tot["DEFAULT"]
+    g_pl = tot["PALLAS"]
     mv = sum(moves.values())
-    sol = g_hst / HIGHEST_TFLOPS + (g_h + g_d) / HIGH_TFLOPS + mv / HBM_BYTES_PER_S
+    sol = (
+        g_hst / HIGHEST_TFLOPS
+        + (g_h + g_d + g_pl) / HIGH_TFLOPS
+        + mv / HBM_BYTES_PER_S
+    )
     summary = dict(
         gflop_highest=g_hst / 1e9,
         gflop_high=g_h / 1e9,
         gflop_default=g_d / 1e9,
+        gflop_pallas=g_pl / 1e9,
         movement_mb=mv / 1e6,
         sol_ms=sol * 1e3,
     )
@@ -106,15 +125,19 @@ def audit(fn, *args):
 
 def achieved(summary: dict, measured_s: float) -> dict:
     """Achieved TFLOP/s + %-of-SoL for a measured wall time per call."""
+    g_pl = summary.get("gflop_pallas", 0.0)
     gf = (
         summary["gflop_highest"]
         + summary["gflop_high"]
         + summary["gflop_default"]
+        + g_pl
     )
     # %-peak weights each precision class by its own roofline
     denom_s = (
         summary["gflop_highest"] * 1e9 / HIGHEST_TFLOPS
-        + (summary["gflop_high"] + summary["gflop_default"]) * 1e9 / HIGH_TFLOPS
+        + (summary["gflop_high"] + summary["gflop_default"] + g_pl)
+        * 1e9
+        / HIGH_TFLOPS
     )
     return dict(
         tflops=gf / 1e3 / measured_s,
