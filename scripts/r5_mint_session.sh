@@ -25,11 +25,16 @@ step() {
 # -- VERDICT item 5 (fast): the scaled config (BASELINE.json configs[4])
 #    end-to-end: M=1024, reduced epochs; loss trajectory + accuracy +
 #    checkpoint round-trip prove the regime trains stably.
+#    Analysis MC budget: n_var_samples=3 (not the notebook 20) — at
+#    S=5*1024 the T x T eval materializes (n_var*10, S, S) covariance
+#    factors; 200 heads = ~21 GB f32, over the v5e's 16 GB HBM.  3 matches
+#    the train-time eval budget, which the training run proves fits.
 step scaled_m1024 results/scaled_m1024/analysis.json bash -c "
   python -m vargp_tpu s_digits --M=1024 --epochs=60 --eval_interval=10 \
       --seed=0 --log_dir=results/scaled_m1024 &&
   python -m vargp_tpu analyze_sdigits --log_dir=results/scaled_m1024 \
-      --M=1024 --out_json=results/scaled_m1024/analysis.json"
+      --M=1024 --n_f=50 --n_var_samples=3 \
+      --out_json=results/scaled_m1024/analysis.json"
 
 # -- VERDICT item 7: DKL stability ablation (4 arms + analyses)
 step dkl_ablation results/dkl_ablation/lr01x_wd/analysis.json \

@@ -371,3 +371,21 @@ def test_cross_gram_matches_broadcast_gram():
     gt_g, gz_g = jax.grad(loss_got, argnums=(0, 1))(theta, z)
     np.testing.assert_allclose(gz_g, gz_r, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(gt_g, gt_r, rtol=1e-4, atol=1e-5)
+
+
+def test_select_inducing_small_dataset_upsamples():
+    """M > n_rows (scaled configs, e.g. M=1024 on Split-Digits) must draw
+    rows WITH replacement, not silently truncate to n_rows — a short z
+    breaks every padded-chain shape downstream (r5 scaled-mint crash)."""
+    key = jax.random.key(0)
+    data = jnp.arange(7 * 3, dtype=jnp.float32).reshape(7, 3)
+    z = M.select_inducing(key, data, M=16, out_size=4)
+    assert z.shape == (4, 16, 3)
+    # every z row is an actual data row
+    d = jnp.abs(z[:, :, None, :] - data[None, None, :, :]).sum(-1).min(-1)
+    assert float(d.max()) == 0.0
+    # the large-dataset path is unchanged: a permutation, no duplicates
+    z2 = M.select_inducing(key, data, M=7, out_size=2)
+    assert z2.shape == (2, 7, 3)
+    for o in range(2):
+        assert np.unique(np.asarray(z2[o]), axis=0).shape[0] == 7

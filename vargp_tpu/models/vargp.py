@@ -593,9 +593,21 @@ def freeze_task(params: VARGPParams) -> TaskPosterior:
 
 
 def select_inducing(key: jax.Array, data: jax.Array, M: int, out_size: int):
-    """Inducing init: M random data rows per class head (vargp.py:207-209)."""
+    """Inducing init: M random data rows per class head (vargp.py:207-209).
+
+    When the task's train set has fewer than M rows (scaled configs, e.g.
+    M=1024 on Split-Digits), rows are drawn WITH replacement — a silent
+    ``permutation(...)[:M]`` truncation would hand the model a z whose row
+    count disagrees with cfg.M and break every padded-chain shape
+    downstream.  Duplicate inducing rows are harmless: the jittered
+    factorization keeps the Gram PSD, and the optimizer separates them.
+    """
+    n = data.shape[0]
     keys = jax.random.split(key, out_size)
-    idx = jnp.stack(
-        [jax.random.permutation(k, data.shape[0])[:M] for k in keys]
-    )
+    if n >= M:
+        idx = jnp.stack([jax.random.permutation(k, n)[:M] for k in keys])
+    else:
+        idx = jnp.stack(
+            [jax.random.choice(k, n, shape=(M,), replace=True) for k in keys]
+        )
     return data[idx]  # (O, M, D)
