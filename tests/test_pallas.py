@@ -228,3 +228,30 @@ def test_diag_chol_pallas_interpret(unrolled):
         diag_chol_pallas(jnp.asarray(K), interpret=True, unrolled=unrolled)
     )
     np.testing.assert_allclose(L, np.linalg.cholesky(K), atol=2e-5)
+
+
+def test_sym_gram_vmem_gate_falls_back_to_xla(monkeypatch):
+    """At scaled chain sizes (S=T*M >= ~3.5k) the whole-block sym-Gram
+    kernels' per-program (R, C) output window exceeds VMEM and Mosaic
+    refuses the allocation (r5 scaled-mint crash at S=5120).  The auto
+    gate must route those shapes to the XLA math instead of launching the
+    kernel."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from vargp_tpu.ops import dispatch
+    from vargp_tpu.ops.pallas import rbf_gram as rg
+
+    # Pretend we are on the TPU backend: the gate lives inside the pallas
+    # branch.  On this CPU host a real kernel launch would fail, so the
+    # test passing proves the fallback fired.
+    monkeypatch.setattr(dispatch, "get_backend", lambda: "pallas")
+    M, D = 3584, 1  # 8*(R*C + C*Dp) just over the 96 MB gate
+    z = jnp.asarray(np.random.default_rng(0).normal(size=(1, M, D)), jnp.float32)
+    invs = jnp.ones((1, D), jnp.float32)
+    gamma2 = jnp.ones((1,), jnp.float32)
+    K = rg._sym_gram_impl(z, invs, gamma2)
+    assert K.shape == (1, 1, M, M)
+    ref = rg._sym_gram_xla_math(z, invs, gamma2, jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(K), np.asarray(ref), rtol=0, atol=0)

@@ -110,10 +110,20 @@ def main(argv=None):
         return 1
     # persistent XLA compile cache: reruns of the same protocol skip the
     # multi-minute eval-predictor compile (VARGP_TPU_COMPILE_CACHE=off to
-    # disable; see utils/compile_cache.py)
-    from vargp_tpu.utils.compile_cache import enable_compilation_cache
+    # disable; see utils/compile_cache.py).  ANALYSIS COMMANDS ONLY: the
+    # training drivers dispatch a device block asynchronously and then
+    # compile the eval program while it is in flight, and with the
+    # persistent cache enabled that compile+execute overlap deadlocks the
+    # axon tunnel client (reproduced 2026-08-21: any train driver with the
+    # cache on hangs at the first eval, zero CPU, futex_do_wait; identical
+    # run with VARGP_TPU_COMPILE_CACHE=off completes).  The analyze_*
+    # drivers compile and execute sequentially and are measured safe —
+    # and they are where the win lives (chain-reload analysis 1145 s ->
+    # 169 s cold / 74 s warm).
+    if name.startswith(("analyze_", "compare_")):
+        from vargp_tpu.utils.compile_cache import enable_compilation_cache
 
-    enable_compilation_cache()
+        enable_compilation_cache()
     args, kwargs = _parse_args(argv[1:])
     platform = kwargs.pop("platform", os.environ.get("VARGP_TPU_PLATFORM"))
     if platform:

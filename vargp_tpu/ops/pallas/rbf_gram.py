@@ -504,9 +504,26 @@ def _sym_gram_impl(z: jax.Array, invs: jax.Array, gamma2: jax.Array,
         from vargp_tpu.ops.dispatch import _env_choice
 
         mode = _env_choice("VARGP_TPU_SYMGRAM", ("auto", "tri", "whole"), "auto")
+        # VMEM-fit gate: both whole-block kernels hold one (R, C) output
+        # window plus the (C, Dp) class block per program, double-buffered.
+        # At scaled chain sizes (S = T*M >= ~3.5k, e.g. M=1024 x 5 tasks)
+        # that exceeds the 128 MB VMEM and Mosaic refuses the allocation —
+        # fall back to the XLA einsum formulation, which tiles fine.
+        # Forced tri/whole modes bypass the gate (loud-fail contract).
+        if mode == "auto":
+            M, D = z.shape[-2], z.shape[-1]
+            R, C, Dp = _round_up(M, 8), _round_up(M, TILE_N), _round_up(D, 128)
+            if 8 * (R * C + C * Dp) > 96 * 1024 * 1024:
+                return _sym_gram_xla_math(z, invs, gamma2, precision)
         if mode == "tri" or (mode != "whole" and z.shape[-2] >= 512):
             return _sym_gram_4d_tri(z, invs, gamma2, precision)
         return _sym_gram_4d(z, invs, gamma2, precision)
+    return _sym_gram_xla_math(z, invs, gamma2, precision)
+
+
+def _sym_gram_xla_math(z, invs, gamma2, precision):
+    """XLA formulation of the symmetric Gram — the non-TPU backend body
+    and the VMEM-overflow fallback for scaled chain sizes."""
     sz = z[None] * invs[:, None, None, :]  # (H, O, M, D)
     nn = jnp.sum(jnp.square(sz), axis=-1)  # (H, O, M)
     xy = jnp.einsum("homd,hond->homn", sz, sz, precision=precision)

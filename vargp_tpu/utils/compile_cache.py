@@ -6,9 +6,16 @@ v5e — scripts/compile_probe.py); the cache makes every rerun of the same
 protocol start in seconds instead.  Verified to round-trip executables
 over the axon tunnel backend (second process: 7.4 s -> 0.4 s compile).
 
-Enabled by the CLI for every command.  Knob contract (loud-fail, same as
-VARGP_TPU_AR_FORM): VARGP_TPU_COMPILE_CACHE=off disables, =<dir> picks
-the location, unset uses ~/.cache/vargp_tpu/xla.
+Enabled by the CLI for ANALYSIS commands (analyze_*/compare_*) and by
+bench.py — NOT for the training drivers: those dispatch a device block
+asynchronously and compile the eval program while it is in flight, and
+that compile+execute overlap deadlocks the axon tunnel client when the
+persistent cache is active (reproduced 2026-08-21 — train drivers hang
+at the first eval with zero CPU; identical runs with the cache off
+complete).  bench.py and the analyze drivers compile and execute
+strictly sequentially and are measured safe.  Knob contract (loud-fail,
+same as VARGP_TPU_AR_FORM): VARGP_TPU_COMPILE_CACHE=off disables,
+=<dir> picks the location, unset uses ~/.cache/vargp_tpu/xla.
 
 Reference counterpart: none — torch eagerly dispatches; compile caching
 is an XLA-model need.
