@@ -14,9 +14,13 @@ run_arm() {
     echo "== $name: already done, skipping"; return
   fi
   echo "== $name: $*"
-  timeout 3600 python -m vargp_tpu s_digits --dkl=True --seed=0 \
-    --log_dir="$OUT/$name" "$@" > "$OUT/$name.log" 2>&1
-  echo "   train rc=$?"
+  if [ -f "$OUT/$name/ckpt4.npz" ]; then
+    echo "   train already complete (ckpt4.npz), analyze only"
+  else
+    timeout 3600 python -m vargp_tpu s_digits --dkl=True --seed=0 \
+      --log_dir="$OUT/$name" "$@" > "$OUT/$name.log" 2>&1
+    echo "   train rc=$?"
+  fi
   timeout 3600 python -m vargp_tpu analyze_sdigits --log_dir="$OUT/$name" \
     --dkl=True >> "$OUT/$name.log" 2>&1
   echo "   analyze rc=$? $(tail -1 "$OUT/$name.log" | head -c 220)"

@@ -30,9 +30,9 @@ step() {
 #    factors; 200 heads = ~21 GB f32, over the v5e's 16 GB HBM.  3 matches
 #    the train-time eval budget, which the training run proves fits.
 step scaled_m1024 results/scaled_m1024/analysis.json bash -c "
-  python -m vargp_tpu s_digits --M=1024 --epochs=60 --eval_interval=10 \
+  timeout 2400 python -m vargp_tpu s_digits --M=1024 --epochs=60 --eval_interval=10 \
       --seed=0 --log_dir=results/scaled_m1024 &&
-  python -m vargp_tpu analyze_sdigits --log_dir=results/scaled_m1024 \
+  timeout 2400 python -m vargp_tpu analyze_sdigits --log_dir=results/scaled_m1024 \
       --M=1024 --n_f=50 --n_var_samples=3 \
       --out_json=results/scaled_m1024/analysis.json"
 
