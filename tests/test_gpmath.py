@@ -807,3 +807,46 @@ def test_tri3_and_rows2_blocks_bitwise_match_plain_slices():
     np.testing.assert_array_equal(
         np.asarray(jax.grad(fd_new)(B)), np.asarray(jax.grad(fd_old)(B))
     )
+
+
+def test_diag_blocks_concat_backward_bitwise():
+    """The large-S concat-assembly backward (no (T, M, T, M) canvas — the
+    eye-mask build's tile-padded canvas OOMs the v5e at S=5120) is
+    bitwise-equal to the eye-mask build, and a grad through _diag_blocks
+    at a threshold-crossing chain size matches plain-slice AD."""
+    import numpy as np
+
+    from vargp_tpu.gpmath.conditional import (
+        _DIAG_BLOCKS_CONCAT_MIN_S,
+        _diag_blocks,
+        _diag_blocks_bwd_concat,
+    )
+
+    # (a) concat build == eye-mask build, bitwise, on small shapes
+    T, M = 5, 7
+    g = jax.random.normal(jax.random.PRNGKey(0), (3, 2, T, M, M))
+    eye = jnp.eye(T, dtype=g.dtype)
+    big = eye[:, None, :, None] * g[..., :, :, None, :]
+    ref = big.reshape(*g.shape[:-3], T * M, T * M)
+    got = _diag_blocks_bwd_concat(T, M, g)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    # (b) end-to-end grad at S >= threshold (the concat path) == plain AD
+    T2 = 4
+    M2 = _DIAG_BLOCKS_CONCAT_MIN_S // T2
+    S2 = T2 * M2
+    assert S2 >= _DIAG_BLOCKS_CONCAT_MIN_S
+    B = jax.random.normal(jax.random.PRNGKey(1), (S2, S2))
+    co = jax.random.normal(jax.random.PRNGKey(2), (T2, M2, M2))
+
+    def plain_diag(B):
+        return jnp.stack(
+            [B[t * M2 : (t + 1) * M2, t * M2 : (t + 1) * M2] for t in range(T2)],
+            axis=-3,
+        )
+
+    fd_new = lambda B: jnp.sum(_diag_blocks(B, T2, M2) * co)
+    fd_old = lambda B: jnp.sum(plain_diag(B) * co)
+    np.testing.assert_array_equal(
+        np.asarray(jax.grad(fd_new)(B)), np.asarray(jax.grad(fd_old)(B))
+    )

@@ -215,7 +215,36 @@ def _diag_blocks_fwd(A, T, M):
     return _diag_blocks(A, T, M), None
 
 
+# Above this chain size the eye-mask build's (..., T, M, T, M) canvas is
+# replaced by concat assembly: at S=5120 (M=1024 x 5 tasks) the canvas
+# allocates 2.93G unpadded / 4.69G tile-padded (the second-minor T dim
+# pads 5 -> 8) plus a separate 2.93G reshape copy — which OOMs the
+# 16G v5e.  Kept >= the measured S=1000/M=1024-single-task regimes so
+# their recorded floors/steps are untouched.
+_DIAG_BLOCKS_CONCAT_MIN_S = 2048
+
+
+def _diag_blocks_bwd_concat(T: int, M: int, g: jax.Array) -> jax.Array:
+    """Block-diagonal cotangent via concat assembly: ONE (..., S, S)
+    materialization in final layout, no (T, M, T, M) canvas and no
+    reshape copy.  Entries are exactly g on the diagonal blocks and +0.0
+    elsewhere — bitwise-equal to the eye-mask build (tested)."""
+    batch = g.shape[:-3]
+    rows = []
+    for t in range(T):
+        blocks = []
+        if t > 0:
+            blocks.append(jnp.zeros((*batch, M, t * M), g.dtype))
+        blocks.append(g[..., t, :, :])
+        if t < T - 1:
+            blocks.append(jnp.zeros((*batch, M, (T - 1 - t) * M), g.dtype))
+        rows.append(blocks[0] if len(blocks) == 1 else jnp.concatenate(blocks, axis=-1))
+    return jnp.concatenate(rows, axis=-2)
+
+
 def _diag_blocks_bwd(T, M, _res, g):
+    if T * M >= _DIAG_BLOCKS_CONCAT_MIN_S:
+        return (_diag_blocks_bwd_concat(T, M, g),)
     eye = jnp.eye(T, dtype=g.dtype)
     big = eye[:, None, :, None] * g[..., :, :, None, :]
     dA = big.reshape(*g.shape[:-3], T * M, T * M)
