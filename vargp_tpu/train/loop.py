@@ -537,6 +537,14 @@ def train_task(
 
         def run_block(n_epochs, *args):
             if n_epochs not in _block_fns:
+                # serialize compile vs in-flight dispatch: compiling a new
+                # program while a device block executes intermittently
+                # deadlocks the tunnel client (futex wait, zero CPU —
+                # observed even with the persistent compile cache off, so
+                # the overlap itself is the trigger, not the cache).
+                # args[0] is the previous block's (possibly in-flight)
+                # params output; syncing it costs nothing material.
+                jax.block_until_ready(args[0])
                 _block_fns[n_epochs] = make_device_train_fn(
                     cfg, tx, hp.beta, hp.batch_size, n_epochs, mesh=mesh
                 )
@@ -566,6 +574,13 @@ def train_task(
 
         def _acc(split, k):
             (xs, ys, ws), n = eval_stacks[split]
+            # sync the in-flight train block before the eval dispatch: the
+            # eval program recompiles whenever a split's batch count grows
+            # (task-growing eval stacks), and compile-while-dispatch
+            # intermittently deadlocks the tunnel client (see run_block).
+            # The eval consumes params anyway, so this loses only the
+            # compile/execute overlap that triggers the hang.
+            jax.block_until_ready(params)
             correct, _ = eval_acc(params, prev, chain_mask, xs, ys, ws, _repl(k))
             correct = float(correct)
             assert np.isfinite(correct), "Found NaNs"
